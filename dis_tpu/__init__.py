@@ -1,0 +1,23 @@
+"""dis_tpu — a TPU-native dense optical flow engine (DIS).
+
+A from-scratch JAX/XLA/Pallas implementation of Fast Optical Flow using
+Dense Inverse Search (Kroeger et al., ECCV 2016), with the capabilities
+of the reference C++ implementation at
+``nejcgalof/Optical-Flow-using-Dense-Inverse-Search`` plus the paper's
+variational refinement step (which the reference skips), batched
+multi-pair data parallelism, spatial frame tiling with halo exchange,
+and multi-host sequence sharding via ``jax.sharding``.
+"""
+
+from .config import DISConfig, DIS_FAST, DIS_COMPAT_DEFAULT
+from .models.dis import dis_flow, dis_flow_padded
+
+__all__ = [
+    "DISConfig",
+    "DIS_FAST",
+    "DIS_COMPAT_DEFAULT",
+    "dis_flow",
+    "dis_flow_padded",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,143 @@
+"""Command-line driver mirroring the reference CLI (main.cpp:60-209).
+
+The reference accepts 0, 3 or 10 positional args:
+
+    dis-tpu [folder start end [max_iter patch_size coarsest finest
+             overlap norm draw]]
+
+and loops over consecutive pairs ``<folder>/frame_%04d.png``, writing
+colorized flow to ``OF_<folder>/``.  This driver reproduces that
+surface (minus the Win32 imshow windows) and adds named flags for the
+TPU-build knobs (mode, refinement, .flo output, EPE scoring against
+ground truth, device batching).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dis-tpu",
+        description="TPU-native DIS optical flow (reference-compatible CLI)",
+    )
+    # the reference's ten positional parameters, all optional
+    p.add_argument("folder", nargs="?", default="alley_1")
+    p.add_argument("start_num_img", nargs="?", type=int, default=1)
+    p.add_argument("end_num_img", nargs="?", type=int, default=50)
+    p.add_argument("max_iter", nargs="?", type=int, default=1000)
+    p.add_argument("patch_size", nargs="?", type=int, default=8)
+    p.add_argument("coarsest_scale", nargs="?", type=int, default=3)
+    p.add_argument("finest_scale", nargs="?", type=int, default=0)
+    p.add_argument("patch_overlap", nargs="?", type=float, default=0.7)
+    p.add_argument("patch_norm", nargs="?", type=int, default=1)
+    p.add_argument("draw_grid", nargs="?", type=int, default=0)
+    # TPU-build flags
+    p.add_argument("--mode", choices=["compat", "fixed"], default="compat")
+    p.add_argument("--refine", type=int, default=0, metavar="ITERS",
+                   help="variational refinement iterations (paper step)")
+    p.add_argument("--save-flo", action="store_true",
+                   help="also write Middlebury .flo files")
+    p.add_argument("--gt-dir", default=None,
+                   help="directory of ground-truth frame_%%04d.flo for EPE")
+    p.add_argument("--out-dir", default=None,
+                   help="output dir (default OF_<folder>, like the reference)")
+    p.add_argument("--no-early-exit", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace to this directory")
+    p.add_argument("--json-log", default=None,
+                   help="append JSON-lines run records to this file")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    # Reference arity rule: 0, 3 or 10 positionals (main.cpp:73-101).
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .config import DISConfig
+    from .models.dis import dis_flow
+    from .utils import color, flo, io as uio, metrics
+
+    cfg = DISConfig(
+        iterations=args.max_iter,
+        patch_size=args.patch_size,
+        coarsest_scale=args.coarsest_scale,
+        finest_scale=args.finest_scale,
+        patch_overlap=args.patch_overlap,
+        patch_normalization=bool(args.patch_norm),
+        mode=args.mode,
+        refinement_iters=args.refine,
+        early_exit=not args.no_early_exit,
+    )
+
+    out_dir = args.out_dir or f"OF_{args.folder}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    flow_fn = jax.jit(lambda a, b: dis_flow(a, b, cfg))
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+
+    epes = []
+    times = []
+    rc = 0
+    for img_i in range(args.start_num_img, args.end_num_img):
+        first = os.path.join(args.folder, f"frame_{img_i:04d}.png")
+        second = os.path.join(args.folder, f"frame_{img_i + 1:04d}.png")
+        print(f"start {first}")
+        try:
+            i1 = uio.imread_gray(first).astype(np.float32)
+            i2 = uio.imread_gray(second).astype(np.float32)
+        except FileNotFoundError:
+            print("No image data")
+            rc = 1
+            break
+        t0 = time.perf_counter()
+        flow = np.asarray(
+            jax.block_until_ready(flow_fn(jnp.asarray(i1), jnp.asarray(i2))))
+        dt = time.perf_counter() - t0
+        times.append(dt)
+
+        dst = color.draw_optical_flow(flow)
+        base = f"frame_{img_i:04d}"
+        uio.imwrite(os.path.join(out_dir, base + ".png"), dst)
+        if args.save_flo:
+            flo.save_flo(os.path.join(out_dir, base + ".flo"), flow)
+        rec = {"frame": img_i, "seconds": dt}
+        if args.gt_dir:
+            gt_path = os.path.join(args.gt_dir, base + ".flo")
+            if os.path.exists(gt_path):
+                gt = flo.load_flo(gt_path)
+                rec["epe"] = metrics.epe(flow, gt)
+                epes.append(rec["epe"])
+        if args.json_log:
+            with open(args.json_log, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        print(f"finish {first} ({dt:.3f}s"
+              + (f", EPE {rec['epe']:.3f}" if "epe" in rec else "") + ")")
+
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+
+    if times:
+        steady = times[1:] or times
+        print(f"frames: {len(times)}  mean {np.mean(steady):.3f}s "
+              f"({1.0 / np.mean(steady):.2f} fps steady-state)")
+    if epes:
+        print(f"avg EPE: {np.mean(epes):.4f}")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

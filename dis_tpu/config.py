@@ -1,0 +1,123 @@
+"""Configuration for the TPU-native DIS optical flow engine.
+
+The ten "compat core" parameters mirror the reference CLI
+(``/root/reference/src/main.cpp:63-101``); derived quantities follow
+``/root/reference/src/optical_flow.cpp:33-59``.  New knobs (``mode``,
+``refinement``, mesh/tiling shapes, dtype) are TPU-build additions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DISConfig:
+    """Parameters of the DIS pipeline.
+
+    Compat-core parameters (reference ``main.cpp:63-72`` defaults):
+
+    - ``iterations``: max IC-LK iterations per patch (ref default 1000).
+    - ``patch_size``: square patch side in pixels.
+    - ``coarsest_scale`` / ``finest_scale``: pyramid range (scale s has
+      dimensions ``/2**s``).
+    - ``patch_overlap``: fraction of patch overlap; patch stride is
+      ``steps = max(1, floor(patch_size * (1 - patch_overlap)))``
+      (ref ``optical_flow.cpp:38``).
+    - ``patch_normalization``: mean-subtract the warped query patch
+      (ref ``patch.cpp:264-266``).
+
+    TPU-build additions:
+
+    - ``mode``: ``"compat"`` reproduces the reference's quirk ledger
+      (SURVEY.md Q1-Q10) for EPE-parity scoring; ``"fixed"`` applies the
+      true IC-LK residual (subtracts the template), adds a per-patch
+      convergence test, and residual-adaptive densification weights
+      (closer to the DIS paper).
+    - ``refinement_iters``: variational refinement fixed-point iterations
+      (0 disables; the reference skips this paper step entirely,
+      ``README.md:11``).
+    - ``early_exit``: allow the batched solver to stop once every patch
+      has converged (``lax.while_loop``); only meaningful in fixed mode
+      or when policing freezes all patches. Compat output is unaffected
+      because frozen patches are masked either way.
+    - ``conv_eps``: fixed-mode convergence threshold on ``|delta_u|``.
+    """
+
+    iterations: int = 1000
+    patch_size: int = 8
+    coarsest_scale: int = 3
+    finest_scale: int = 0
+    patch_overlap: float = 0.7
+    patch_normalization: bool = True
+
+    mode: str = "compat"  # "compat" | "fixed"
+    refinement_iters: int = 0
+    refinement_alpha: float = 10.0
+    refinement_delta: float = 5.0
+    refinement_gamma: float = 10.0
+    early_exit: bool = True
+    conv_eps: float = 0.01
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.mode not in ("compat", "fixed"):
+            raise ValueError(f"mode must be 'compat' or 'fixed', got {self.mode!r}")
+        if self.patch_size % 2 != 0:
+            raise ValueError("patch_size must be even (reference uses ps/2 offsets)")
+        if self.finest_scale > self.coarsest_scale:
+            raise ValueError("finest_scale must be <= coarsest_scale")
+
+    # -- derived (reference optical_flow.cpp:33-40) ------------------------
+
+    @property
+    def steps(self) -> int:
+        """Patch-center stride in px (``optical_flow.cpp:38``)."""
+        return max(1, int(math.floor(self.patch_size * (1.0 - self.patch_overlap))))
+
+    @property
+    def outlier_thresh(self) -> float:
+        """Max displacement from the scale's start position (``optical_flow.cpp:34``)."""
+        return float(self.patch_size) / 2.0
+
+    @property
+    def num_points_patch(self) -> int:
+        return self.patch_size * self.patch_size
+
+    @property
+    def img_padding(self) -> int:
+        """Per-level border padding equals patch_size (``main.cpp:177``)."""
+        return self.patch_size
+
+    @property
+    def num_scales(self) -> int:
+        return self.coarsest_scale - self.finest_scale + 1
+
+    def scale_dims(self, width: int, height: int, scale: int) -> Tuple[int, int]:
+        """(w, h) at pyramid scale ``scale`` for padded input dims.
+
+        Matches ``optical_flow.cpp:51-53``: ``dim * 2**-scale`` truncated —
+        exact because inputs are pre-padded to be divisible by
+        ``2**coarsest_scale`` (``main.cpp:140-155``).
+        """
+        f = 2.0 ** (-scale)
+        return int(width * f), int(height * f)
+
+
+# Fast preset in the spirit of the DIS paper's operating points (the
+# reference's own defaults — 1000 iterations, stride 2 — are far off any
+# paper preset; see BASELINE.md).
+DIS_FAST = DISConfig(
+    iterations=16,
+    patch_size=8,
+    coarsest_scale=3,
+    finest_scale=0,
+    patch_overlap=0.3,
+    patch_normalization=True,
+    mode="fixed",
+    early_exit=True,
+)
+
+DIS_COMPAT_DEFAULT = DISConfig()

@@ -1,0 +1,204 @@
+"""Batched inverse-compositional Lucas-Kanade patch search (pure JAX).
+
+The reference runs one mutable state machine per patch, sequentially
+(patch.cpp:119-203, dispatched from patch_grid.cpp:99-106).  Here the
+whole grid is a struct-of-arrays batch and every iteration runs all
+patches at once; frozen patches are masked, which preserves the
+reference's per-patch semantics exactly (a frozen patch's ``u`` never
+changes again, and its query resample has no observable effect).
+
+Quirk-compat details (SURVEY.md §2):
+- Q3: ``delta_u = H^-1 [sum(Tdx*Q); sum(Tdy*Q)]`` — the template is NOT
+  subtracted in compat mode (patch.cpp:171-176).  Fixed mode uses the
+  true residual ``Q - T`` (with the template mean-normalized when
+  patch_normalization is on).
+- Q5: no convergence test in compat mode; the loop body runs exactly
+  ``iterations + 1`` times unless policing freezes a patch
+  (counter semantics of patch.cpp:141,167,199).
+- Q9: policing resets ``u`` to the scale's init and freezes the patch
+  when it moves more than ``patch_size/2`` from its start position or
+  leaves the valid region (patch.cpp:185-194).
+- Q10: bilinear sampling addresses taps from ``ceil(pos + 1e-5)``
+  computed in float32 (patch.cpp:222-234), reproduced bit-for-bit
+  including the float32 rounding of the +1e-5 nudge.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import DISConfig
+
+
+class PatchTemplates(NamedTuple):
+    T: jnp.ndarray      # [N, ps*ps] raw template values
+    Tdx: jnp.ndarray    # [N, ps*ps] template d/dx
+    Tdy: jnp.ndarray    # [N, ps*ps] template d/dy
+    Hinv: jnp.ndarray   # [N, 2, 2] inverse 2x2 Hessian
+
+
+def extract_templates(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
+                      centers: jnp.ndarray, ps: int, pad: int) -> PatchTemplates:
+    """Template extraction at rounded centers + Hessian (patch.cpp:47-91).
+
+    ``img``/``dx``/``dy`` are the padded level planes; ``centers`` [N, 2]
+    are integer-valued patch centers in unpadded coords.
+    """
+    tmp_h, tmp_w = img.shape
+    half = ps // 2
+    offs = jnp.arange(-half, half)  # lb..ub inclusive
+    px = jnp.round(centers[:, 0]).astype(jnp.int32) + pad
+    py = jnp.round(centers[:, 1]).astype(jnp.int32) + pad
+    rows = py[:, None, None] + offs[None, :, None]
+    cols = px[:, None, None] + offs[None, None, :]
+    idx = (rows * tmp_w + cols).reshape(centers.shape[0], ps * ps)
+    T = jnp.take(img.ravel(), idx, axis=0)
+    Tdx = jnp.take(dx.ravel(), idx, axis=0)
+    Tdy = jnp.take(dy.ravel(), idx, axis=0)
+
+    a = (Tdx * Tdx).sum(axis=1)
+    b = (Tdx * Tdy).sum(axis=1)
+    c = (Tdy * Tdy).sum(axis=1)
+    det = a * c - b * b
+    guard = jnp.where(det == 0, jnp.float32(1e-10), jnp.float32(0.0))
+    a = a + guard
+    c = c + guard
+    det = a * c - b * b
+    inv_det = 1.0 / det
+    Hinv = jnp.stack(
+        [jnp.stack([c * inv_det, -b * inv_det], -1),
+         jnp.stack([-b * inv_det, a * inv_det], -1)], -2)
+    return PatchTemplates(T=T, Tdx=Tdx, Tdy=Tdy, Hinv=Hinv)
+
+
+def sample_patches(img2: jnp.ndarray, pos: jnp.ndarray, ps: int, pad: int,
+                   normalize: bool) -> jnp.ndarray:
+    """Bilinear warped query patches [N, ps*ps] (patch.cpp:207-267).
+
+    One gathered (ps+1)x(ps+1) window per patch, combined as four
+    shifted taps with the reference's exact weight/tap pairing; tap base
+    is ``ceil(pos + 1e-5)`` in float32 (Q10).  Out-of-range positions
+    (possible only for masked/frozen patches) are index-clipped.
+    """
+    tmp_h, tmp_w = img2.shape
+    n = pos.shape[0]
+    half = ps // 2
+    posx = pos[:, 0].astype(jnp.float32)
+    posy = pos[:, 1].astype(jnp.float32)
+    l = jnp.floor(posx)
+    k = jnp.floor(posy)
+    a = posx - l
+    b = posy - k
+    w0 = (1 - a) * (1 - b)
+    w1 = a * (1 - b)
+    w2 = b * (1 - a)
+    w3 = a * b
+
+    # float32 ceil(pos + 1e-5); clip before int cast to keep the cast
+    # defined for wildly out-of-range (frozen-patch) positions.
+    nudge = jnp.float32(1e-5)
+    cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32) + pad
+    cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32) + pad
+
+    doff = jnp.arange(ps + 1)
+    rows = jnp.clip((cpy - half - 1)[:, None, None] + doff[None, :, None], 0, tmp_h - 1)
+    cols = jnp.clip((cpx - half - 1)[:, None, None] + doff[None, None, :], 0, tmp_w - 1)
+    idx = (rows * tmp_w + cols).reshape(n, (ps + 1) * (ps + 1))
+    W = jnp.take(img2.ravel(), idx, axis=0).reshape(n, ps + 1, ps + 1)
+
+    q = (w3[:, None, None] * W[:, 1:, 1:]
+         + w2[:, None, None] * W[:, 1:, :-1]
+         + w1[:, None, None] * W[:, :-1, 1:]
+         + w0[:, None, None] * W[:, :-1, :-1]).reshape(n, ps * ps)
+    if normalize:
+        q = q - q.sum(axis=1, keepdims=True) * jnp.float32(1.0 / (ps * ps))
+    return q
+
+
+class SearchResult(NamedTuple):
+    u: jnp.ndarray          # [N, 2] final displacement per patch
+    Q: jnp.ndarray          # [N, ps*ps] final warped query patch
+    converged: jnp.ndarray  # [N] bool
+
+
+def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
+                   centers: jnp.ndarray, init_u: jnp.ndarray,
+                   cfg: DISConfig, width: int, height: int) -> SearchResult:
+    """Run the full IC-LK iteration for every patch at one scale.
+
+    Valid-region bounds from optical_flow.cpp:55-57:
+    ``tmp_lb = -ps/2``, ``tmp_ub_w = w + ps/2 - 2``, ``tmp_ub_h = h + ps/2 - 2``.
+    """
+    ps = cfg.patch_size
+    pad = cfg.img_padding
+    lb = jnp.float32(-float(ps) / 2.0)
+    ub_w = jnp.float32(width + ps // 2 - 2)
+    ub_h = jnp.float32(height + ps // 2 - 2)
+    thresh = jnp.float32(cfg.outlier_thresh)
+    fixed = cfg.mode == "fixed"
+
+    Tn = tpl.T
+    if fixed and cfg.patch_normalization:
+        Tn = tpl.T - tpl.T.sum(axis=1, keepdims=True) * jnp.float32(1.0 / (ps * ps))
+
+    def oob(p):
+        return ((p[:, 0] < lb) | (p[:, 1] < lb)
+                | (p[:, 0] > ub_w) | (p[:, 1] > ub_h))
+
+    init_u = init_u.astype(jnp.float32)
+    pos0 = centers + init_u
+    start = pos0
+    conv0 = oob(pos0)
+    Q0 = jnp.where(
+        conv0[:, None], tpl.T,
+        sample_patches(img2, pos0, ps, pad, cfg.patch_normalization))
+
+    # Under shard_map the loop carry must have a consistent
+    # varying-across-devices type: at the coarsest scale ``init_u`` is a
+    # replicated constant while the body makes ``u``/``converged``
+    # device-varying.  Seed both from the (always-varying) image via an
+    # identically-False predicate (NaN-safe: NaN - NaN > 1 is False).
+    vfalse = (img2.ravel()[0] - img2.ravel()[0]) > jnp.float32(1.0)
+    u0 = jnp.where(vfalse, jnp.float32(0), init_u)
+    conv0 = jnp.where(vfalse, True, conv0)
+
+    def body(state):
+        it, u, Q, converged = state
+        active = ~converged
+        R = Q - Tn if fixed else Q
+        rhs = jnp.stack([(tpl.Tdx * R).sum(axis=1),
+                         (tpl.Tdy * R).sum(axis=1)], -1)
+        delta = jnp.einsum("nij,nj->ni", tpl.Hinv, rhs)
+        u_new = u - delta
+        p_new = centers + u_new
+        d = start - p_new
+        dist = jnp.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
+        policed = (dist > thresh) | oob(p_new)
+        u_next = jnp.where(policed[:, None], init_u, u_new)
+        u = jnp.where(active[:, None], u_next, u)
+        pos = centers + u
+        Qs = sample_patches(img2, pos, ps, pad, cfg.patch_normalization)
+        Q = jnp.where(active[:, None], Qs, Q)
+        newly_done = active & policed
+        if fixed:
+            small = jnp.sqrt((delta * delta).sum(-1)) < jnp.float32(cfg.conv_eps)
+            newly_done = newly_done | (active & small)
+        return it + 1, u, Q, converged | newly_done
+
+    n_iters = cfg.iterations + 1  # counter_iter runs 1..iterations+1
+
+    if cfg.early_exit:
+        def cond(state):
+            it, _, _, converged = state
+            return (it < n_iters) & (~jnp.all(converged))
+        _, u, Q, converged = lax.while_loop(cond, body, (0, u0, Q0, conv0))
+    else:
+        def fbody(i, state):
+            return body(state)
+        _, u, Q, converged = lax.fori_loop(0, n_iters, fbody, (0, u0, Q0, conv0))
+    return SearchResult(u=u, Q=Q, converged=converged)

@@ -1,0 +1,102 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest).
+
+Invariance assertions per SURVEY.md §4: N-device batch == N serial
+runs; tiled+halo interior == untiled; sequence-sharded == serial pair
+loop.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dis_tpu.config import DISConfig
+from dis_tpu.models.dis import dis_flow_padded
+from dis_tpu.parallel import (
+    make_mesh, batched_flow_fn, batched_flow_epe_fn, tiled_flow_fn,
+    sequence_flow_fn,
+)
+
+from conftest import synthetic_pair
+
+CFG = DISConfig(iterations=6, coarsest_scale=2, patch_overlap=0.5,
+                early_exit=False)
+
+
+def _pairs(b, h, w):
+    ps = [synthetic_pair(h, w, shift=(2.0, 1.0), seed=s) for s in range(b)]
+    a = np.stack([p[0] for p in ps])
+    c = np.stack([p[1] for p in ps])
+    return a, c
+
+
+def test_device_count():
+    assert jax.device_count() == 8
+
+
+def test_batched_matches_serial():
+    a, b = _pairs(8, 24, 32)
+    mesh = make_mesh((8, 1))
+    fn = batched_flow_fn(CFG, mesh)
+    got = np.asarray(fn(jnp.asarray(a), jnp.asarray(b)))
+    for i in range(8):
+        want = np.asarray(dis_flow_padded(jnp.asarray(a[i]), jnp.asarray(b[i]), CFG))
+        np.testing.assert_allclose(got[i], want, atol=1e-5)
+
+
+def test_batched_epe_psum():
+    a, b = _pairs(8, 24, 32)
+    gt = np.zeros(a.shape + (2,), np.float32)
+    gt[..., 0] = 2.0
+    gt[..., 1] = 1.0
+    mesh = make_mesh((8, 1))
+    fn = batched_flow_epe_fn(CFG, mesh)
+    flows, mean_epe = fn(jnp.asarray(a), jnp.asarray(b), jnp.asarray(gt))
+    assert np.isfinite(float(mean_epe))
+    # epe equals the manual mean of per-pair EPEs
+    from dis_tpu.utils.metrics import epe
+    per = [epe(np.asarray(flows)[i], gt[i]) for i in range(8)]
+    assert float(mean_epe) == pytest.approx(np.mean(per), rel=1e-4)
+
+
+def test_tiled_interior_matches_untiled():
+    h, w = 128, 48
+    i1, i2 = synthetic_pair(h, w, shift=(1.0, 1.0), seed=3)
+    cfg = DISConfig(iterations=6, coarsest_scale=2, patch_overlap=0.5,
+                    early_exit=False)
+    mesh = make_mesh((1, 4), axis_names=("batch", "space"))
+    fn = tiled_flow_fn(cfg, mesh, h, w, max_motion_px=8)
+    got = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))
+    want = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), cfg))
+    assert got.shape == want.shape
+    # Seams at rows 32/64/96; compare away from the seam bands.
+    from dis_tpu.parallel.tiles import halo_rows
+    band = 12
+    for t0 in (0, 32, 64, 96):
+        lo = t0 + band
+        hi = t0 + 32 - band
+        if lo < hi:
+            np.testing.assert_allclose(got[lo:hi], want[lo:hi], atol=0.2)
+    # and the flow is broadly correct everywhere (no NaNs/garbage)
+    assert np.isfinite(got).all()
+
+
+def test_sequence_sharded_matches_serial():
+    h, w = 24, 32
+    frames = []
+    base, _ = synthetic_pair(h, w, seed=11)
+    r = np.random.default_rng(5)
+    cur = base
+    for t in range(8):
+        frames.append(cur)
+        cur = np.roll(cur, shift=1, axis=1)  # constant 1-px horizontal motion
+    clip = np.stack(frames).astype(np.float32)
+    mesh = make_mesh((4,), axis_names=("seq",))
+    fn = sequence_flow_fn(CFG, mesh)
+    got = np.asarray(fn(jnp.asarray(clip)))
+    assert got.shape[0] == 8
+    for t in range(7):
+        want = np.asarray(dis_flow_padded(
+            jnp.asarray(clip[t]), jnp.asarray(clip[t + 1]), CFG))
+        np.testing.assert_allclose(got[t], want, atol=1e-3)
+    assert np.abs(got[7]).max() == 0.0
