@@ -54,6 +54,7 @@ class DISConfig:
     patch_normalization: bool = True
 
     mode: str = "compat"  # "compat" | "fixed"
+    sampler: str = "region"  # "region" (fast, TPU-native) | "global" (reference-shaped)
     refinement_iters: int = 0
     refinement_alpha: float = 10.0
     refinement_delta: float = 5.0
@@ -65,6 +66,8 @@ class DISConfig:
     def __post_init__(self):
         if self.mode not in ("compat", "fixed"):
             raise ValueError(f"mode must be 'compat' or 'fixed', got {self.mode!r}")
+        if self.sampler not in ("region", "global"):
+            raise ValueError(f"sampler must be 'region' or 'global', got {self.sampler!r}")
         if self.patch_size % 2 != 0:
             raise ValueError("patch_size must be even (reference uses ps/2 offsets)")
         if self.finest_scale > self.coarsest_scale:
