@@ -55,6 +55,7 @@ class DISConfig:
 
     mode: str = "compat"  # "compat" | "fixed"
     sampler: str = "region"  # "region" (fast, TPU-native) | "global" (reference-shaped)
+    kernel: str = "auto"  # "auto" | "pallas" (fused iteration kernel) | "xla"
     refinement_iters: int = 0
     refinement_alpha: float = 10.0
     refinement_delta: float = 5.0
@@ -68,6 +69,8 @@ class DISConfig:
             raise ValueError(f"mode must be 'compat' or 'fixed', got {self.mode!r}")
         if self.sampler not in ("region", "global"):
             raise ValueError(f"sampler must be 'region' or 'global', got {self.sampler!r}")
+        if self.kernel not in ("auto", "pallas", "xla"):
+            raise ValueError(f"kernel must be 'auto', 'pallas' or 'xla', got {self.kernel!r}")
         if self.patch_size % 2 != 0:
             raise ValueError("patch_size must be even (reference uses ps/2 offsets)")
         if self.finest_scale > self.coarsest_scale:

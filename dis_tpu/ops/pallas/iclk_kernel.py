@@ -1,0 +1,264 @@
+"""Fused Pallas IC-LK iteration kernel.
+
+The hot loop of DIS (patch.cpp:156-203 per patch, dispatched serially
+in the reference) runs here as ONE kernel per scale: the grid walks
+patch blocks, each block's sampling regions live in VMEM for the whole
+iteration loop, and every operation is vectorized across B patches on
+the lane dimension.  Per iteration and patch: two 64-point dots, a 2x2
+solve, policing, and a separable one-hot bilinear resample from the
+patch's private region — all VPU work on [.., B] tiles; HBM is touched
+once per block (regions in, state out) instead of once per iteration.
+
+Numerics match the XLA region path (ops/iclk.py) exactly: same
+ceil(+1e-5f) tap base (Q10), same weight/tap pairing, same policing
+order (Q9), same fixed ``iterations + 1`` trip count (Q5).
+
+Mosaic notes: loop carries are kept 2-D float32 ([1, B] / [ps*ps, B]) —
+1-D or boolean carries pick up implicit-2D layouts that fail to
+legalize in ``scf.for``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import DISConfig
+
+# meta row indices (f32 meta array [M_ROWS, B])
+M_IAA, M_IAB, M_IBB = 0, 1, 2          # inverse Hessian entries
+M_IUX, M_IUY = 3, 4                    # init_u
+M_SX, M_SY = 5, 6                      # start position (pos0)
+M_CX, M_CY = 7, 8                      # patch center
+M_BX, M_BY = 9, 10                     # region base (padded-image coords)
+M_CONV0 = 11                           # initially-converged mask (1.0/0.0)
+M_ROWS = 12
+
+
+def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, q0_ref,
+                 u_ref, q_ref, conv_ref, *,
+                 n_iters: int, ps: int, R: int, pad: int,
+                 lb: float, ub_w: float, ub_h: float, thresh: float,
+                 normalize: bool, fixed: bool, conv_eps: float,
+                 tn_ref=None):
+    half = ps // 2
+    f32 = jnp.float32
+
+    def mrow(i):  # [1, B] f32
+        return meta_ref[0, i:i + 1, :]
+
+    iaa, iab, ibb = mrow(M_IAA), mrow(M_IAB), mrow(M_IBB)
+    iux, iuy = mrow(M_IUX), mrow(M_IUY)
+    sx, sy = mrow(M_SX), mrow(M_SY)
+    cx, cy = mrow(M_CX), mrow(M_CY)
+    bx = mrow(M_BX).astype(jnp.int32)
+    by = mrow(M_BY).astype(jnp.int32)
+    conv0 = mrow(M_CONV0)
+
+    tdx = tdx_ref[0, :, :]       # [ps*ps, B]
+    tdy = tdy_ref[0, :, :]
+    regions = reg_ref[0, :, :, :]  # [R, R, B]
+
+    B = tdx.shape[-1]
+    riota = lax.broadcasted_iota(jnp.int32, (R, B), 0)  # region row/col idx
+
+    def sample(posx, posy):
+        """Separable one-hot bilinear resample -> [ps*ps, B].
+
+        posx/posy: [1, B] float32.
+        """
+        a = posx - jnp.floor(posx)          # [1, B]
+        b = posy - jnp.floor(posy)
+        nudge = f32(1e-5)
+        cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32) + pad
+        cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32) + pad
+        ws = jnp.clip(cpy - half - 1 - by, 0, R - (ps + 1))  # [1, B]
+        cs = jnp.clip(cpx - half - 1 - bx, 0, R - (ps + 1))
+
+        # Column stage: rcol_k[r, n] = (1-a) reg[r, cs+k, n] + a reg[r, cs+k+1, n]
+        rcols = []
+        for k in range(ps):
+            m = (jnp.where(riota == cs + k, 1.0 - a, f32(0))
+                 + jnp.where(riota == cs + k + 1, a, f32(0)))   # [R(c), B]
+            rcols.append(jnp.sum(regions * m[None, :, :], axis=1))  # [R, B]
+
+        # Row stage: q[j*ps + k, n] = (1-b) rcol_k[ws+j, n] + b rcol_k[ws+j+1, n]
+        rows = []
+        for j in range(ps):
+            m = (jnp.where(riota == ws + j, 1.0 - b, f32(0))
+                 + jnp.where(riota == ws + j + 1, b, f32(0)))   # [R(r), B]
+            for k in range(ps):
+                rows.append(jnp.sum(rcols[k] * m, axis=0, keepdims=True))
+        q = jnp.concatenate(rows, axis=0)  # [ps*ps, B] row-major (j, i)
+        if normalize:
+            q = q - jnp.sum(q, axis=0, keepdims=True) * f32(1.0 / (ps * ps))
+        return q
+
+    def oob_f(px, py):  # [1, B] float mask
+        bad = (px < lb) | (py < lb) | (px > ub_w) | (py > ub_h)
+        return bad.astype(f32)
+
+    tn = tn_ref[0, :, :] if fixed and tn_ref is not None else None
+
+    def body(_, state):
+        ux, uy, q, conv = state            # [1,B] x3 f32, q [ps*ps, B]
+        frozen = conv > 0.5                # [1, B] bool (value-level only)
+        r = q - tn if fixed else q
+        rhs_x = jnp.sum(tdx * r, axis=0, keepdims=True)   # [1, B]
+        rhs_y = jnp.sum(tdy * r, axis=0, keepdims=True)
+        dx = iaa * rhs_x + iab * rhs_y
+        dy = iab * rhs_x + ibb * rhs_y
+        ux_new = ux - dx
+        uy_new = uy - dy
+        px = cx + ux_new
+        py = cy + uy_new
+        mx = sx - px
+        my = sy - py
+        dist = jnp.sqrt(mx * mx + my * my)
+        policed = (dist > thresh) | (oob_f(px, py) > 0.5)
+        ux_nxt = jnp.where(policed, iux, ux_new)
+        uy_nxt = jnp.where(policed, iuy, uy_new)
+        ux = jnp.where(frozen, ux, ux_nxt)
+        uy = jnp.where(frozen, uy, uy_nxt)
+        px = cx + ux
+        py = cy + uy
+        qs = sample(px, py)
+        q = jnp.where(frozen, q, qs)
+        newly = (~frozen) & policed
+        if fixed:
+            small = jnp.sqrt(dx * dx + dy * dy) < f32(conv_eps)
+            newly = newly | ((~frozen) & small)
+        conv = jnp.maximum(conv, newly.astype(f32))
+        return ux, uy, q, conv
+
+    q0 = q0_ref[0, :, :]
+    ux, uy, q, conv = lax.fori_loop(
+        0, n_iters, body, (iux + 0.0, iuy + 0.0, q0, conv0 + 0.0))
+
+    u_ref[0, 0:1, :] = ux
+    u_ref[0, 1:2, :] = uy
+    q_ref[0, :, :] = q
+    conv_ref[0, 0:1, :] = conv
+
+
+def inverse_search_pallas(
+    regions: jnp.ndarray,     # [N, R, R] from ops.iclk.extract_regions
+    base_y: jnp.ndarray, base_x: jnp.ndarray,
+    T: jnp.ndarray, Tdx: jnp.ndarray, Tdy: jnp.ndarray,  # [N, ps*ps]
+    Hinv: jnp.ndarray,        # [N, 2, 2]
+    centers: jnp.ndarray, init_u: jnp.ndarray,
+    Q0: jnp.ndarray, conv0: jnp.ndarray,
+    cfg: DISConfig, width: int, height: int,
+    block: int = 512, interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the fused iteration kernel; returns (u [N,2], Q [N,ps*ps], conv [N])."""
+    ps = cfg.patch_size
+    R = 2 * ps + 3
+    n = regions.shape[0]
+    block = min(block, max(128, 128 * (-(-n // 128))))
+    nb = -(-n // block)
+    npad = nb * block
+
+    def padn(x, fill=0.0):
+        pad_width = [(0, npad - n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad_width, constant_values=fill)
+
+    pos0 = centers + init_u
+    meta = jnp.stack([
+        Hinv[:, 0, 0], Hinv[:, 0, 1], Hinv[:, 1, 1],
+        init_u[:, 0], init_u[:, 1],
+        pos0[:, 0], pos0[:, 1],
+        centers[:, 0], centers[:, 1],
+        base_x.astype(jnp.float32), base_y.astype(jnp.float32),
+        conv0.astype(jnp.float32),
+    ], axis=0)                                   # [M_ROWS, N]
+    meta = padn(meta.T, 0.0).T
+    # padded dummy patches: mark converged so they never move/sample
+    if npad > n:
+        pad_mask = jnp.arange(npad) >= n
+        meta = meta.at[M_CONV0].set(jnp.where(pad_mask, 1.0, meta[M_CONV0]))
+
+    # transpose to [nb, K, block] lane layout
+    def blk(x_t):  # x_t: [K, npad] -> [nb, K, block]
+        k = x_t.shape[0]
+        return x_t.reshape(k, nb, block).transpose(1, 0, 2)
+
+    meta_b = blk(meta)
+    tdx_b = blk(padn(Tdx).T)
+    tdy_b = blk(padn(Tdy).T)
+    q0_b = blk(padn(Q0).T)
+    reg_b = padn(regions).reshape(nb, block, R, R).transpose(0, 2, 3, 1)
+
+    fixed = cfg.mode == "fixed"
+    tn_b = None
+    if fixed:
+        Tn = T
+        if cfg.patch_normalization:
+            Tn = T - T.sum(axis=1, keepdims=True) * jnp.float32(1.0 / (ps * ps))
+        tn_b = blk(padn(Tn).T)
+
+    kernel = functools.partial(
+        _iclk_kernel,
+        n_iters=cfg.iterations + 1, ps=ps, R=R, pad=cfg.img_padding,
+        lb=-float(ps) / 2.0, ub_w=float(width + ps // 2 - 2),
+        ub_h=float(height + ps // 2 - 2), thresh=float(cfg.outlier_thresh),
+        normalize=cfg.patch_normalization, fixed=fixed,
+        conv_eps=cfg.conv_eps,
+    )
+
+    in_specs = [
+        pl.BlockSpec((1, M_ROWS, block), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, R, block), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [meta_b, tdx_b, tdy_b, reg_b, q0_b]
+    if fixed:
+        in_specs.append(pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(tn_b)
+
+    def kern(*refs):
+        if fixed:
+            meta_r, tdx_r, tdy_r, reg_r, q0_r, tn_r, u_r, q_r, c_r = refs
+        else:
+            meta_r, tdx_r, tdy_r, reg_r, q0_r, u_r, q_r, c_r = refs
+            tn_r = None
+        kernel(meta_r, tdx_r, tdy_r, reg_r, q0_r, u_r, q_r, c_r, tn_ref=tn_r)
+
+    u_b, q_b, conv_b = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, 2, block), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 2, block), jnp.float32),
+            jax.ShapeDtypeStruct((nb, ps * ps, block), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*args)
+
+    u = u_b.transpose(0, 2, 1).reshape(npad, 2)[:n]
+    q = q_b.transpose(0, 2, 1).reshape(npad, ps * ps)[:n]
+    conv = conv_b.transpose(0, 2, 1).reshape(npad)[:n] > 0.5
+    return u, q, conv

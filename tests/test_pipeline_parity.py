@@ -74,6 +74,21 @@ def test_templates_and_hessian_match(rng):
     np.testing.assert_allclose(prod, eye, atol=1e-3)
 
 
+def test_templates_grid_matches_gather(rng):
+    img = jnp.asarray((rng.random((64, 80)) * 255).astype(np.float32))
+    dx = jnp.asarray((rng.random((64, 80)) * 2 - 1).astype(np.float32))
+    dy = jnp.asarray((rng.random((64, 80)) * 2 - 1).astype(np.float32))
+    for (w, h, s) in [(48, 32, 5), (47, 31, 2), (40, 32, 8)]:
+        geom = make_grid(w, h, s)
+        im, dxx, dyy = img[:h + 16, :w + 16], dx[:h + 16, :w + 16], dy[:h + 16, :w + 16]
+        want = iclk.extract_templates(im, dxx, dyy, jnp.asarray(geom.centers), 8, 8)
+        got = iclk.extract_templates_grid(im, dxx, dyy, geom, 8, 8)
+        for name in ("T", "Tdx", "Tdy", "Hinv"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+                atol=1e-5, err_msg=f"{name} @ {w}x{h}/{s}")
+
+
 def test_sample_patches_match(rng):
     img = (rng.random((56, 56)) * 255).astype(np.float32)
     ps, pad = 8, 8
