@@ -86,6 +86,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     flow_fn = jax.jit(lambda a, b: dis_flow(a, b, cfg))
 
+    draw_grid = bool(args.draw_grid)
+    if draw_grid:
+        from .ops.image import pad_divisible
+        from .models.dis import dis_flow_padded
+        from .utils.overlay import draw_grid_overlay
+
+        def debug_fn(a, b):
+            p1, _ = pad_divisible(a, cfg.coarsest_scale)
+            p2, _ = pad_divisible(b, cfg.coarsest_scale)
+            return dis_flow_padded(p1, p2, cfg, return_debug=True)
+
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
 
@@ -112,6 +123,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         dst = color.draw_optical_flow(flow)
         base = f"frame_{img_i:04d}"
         uio.imwrite(os.path.join(out_dir, base + ".png"), dst)
+        if draw_grid:
+            _, dbg = debug_fn(jnp.asarray(i1), jnp.asarray(i2))
+            for scale, centers, u_s, lvl in dbg:
+                ov = draw_grid_overlay(np.asarray(lvl), np.asarray(centers),
+                                       np.asarray(u_s), scale, cfg.patch_size)
+                uio.imwrite(os.path.join(
+                    out_dir, f"{base}_grid_s{scale}.png"), ov)
         if args.save_flo:
             flo.save_flo(os.path.join(out_dir, base + ".flo"), flow)
         rec = {"frame": img_i, "seconds": dt}

@@ -25,12 +25,14 @@ from ..ops.variational import variational_refinement
 
 
 def dis_flow_padded(img1: jnp.ndarray, img2: jnp.ndarray,
-                    cfg: DISConfig) -> jnp.ndarray:
+                    cfg: DISConfig, return_debug: bool = False):
     """DIS flow on an already divisibility-padded grayscale float pair.
 
     Returns flow at scale ``finest_scale``:
     [H / 2**finest, W / 2**finest, 2] — the C13 upscale/crop is in
-    :func:`dis_flow`.
+    :func:`dis_flow`.  With ``return_debug``, also returns a per-scale
+    list of (scale, centers, u, level_image) for the C12 grid overlay
+    (optical_flow.cpp:92-123).
     """
     h, w = img1.shape
     f = 2 ** cfg.coarsest_scale
@@ -42,6 +44,7 @@ def dis_flow_padded(img1: jnp.ndarray, img2: jnp.ndarray,
         pyr2 = construct_pyramid(img2, cfg.coarsest_scale, cfg.img_padding)
 
     flow = None
+    debug = []
     for scale in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
         with jax.named_scope(f"scale_{scale}"):
             l1 = pyr1[scale]
@@ -73,6 +76,10 @@ def dis_flow_padded(img1: jnp.ndarray, img2: jnp.ndarray,
             else:
                 wts = None
             flow = densify(res.u, geom, sw, sh, cfg.patch_size, wts)
+            if return_debug:
+                p = cfg.img_padding
+                debug.append((scale, geom.centers, res.u,
+                              l1.img[p:p + sh, p:p + sw]))
 
     if cfg.refinement_iters > 0:
         with jax.named_scope("variational_refinement"):
@@ -80,6 +87,8 @@ def dis_flow_padded(img1: jnp.ndarray, img2: jnp.ndarray,
             lvl1, lvl2 = pyr1[s], pyr2[s]
             flow = variational_refinement(
                 lvl1.img, lvl2.img, flow, cfg)
+    if return_debug:
+        return flow, debug
     return flow
 
 
