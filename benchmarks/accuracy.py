@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Accuracy-parity harness: TPU pipeline vs C++ baseline vs NumPy oracle.
+
+BASELINE.json demands EPE parity "with the reference implementation";
+with no Sintel/KITTI data shipped in this environment, parity is scored
+against the two independent re-implementations of the reference
+semantics (the C++ baseline in tools/cpp_baseline and the NumPy oracle)
+on synthetic pairs with known ground truth, at several sizes/configs.
+
+Usage:  python benchmarks/accuracy.py [--sizes small|full]
+Outputs a JSON summary: per-config EPE of each implementation vs ground
+truth and the cross-implementation flow deltas.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from dis_tpu.config import DISConfig  # noqa: E402
+from dis_tpu.oracle import reference_semantics as spec  # noqa: E402
+from dis_tpu.utils.metrics import epe  # noqa: E402
+
+TOOL_DIR = os.path.join(ROOT, "tools", "cpp_baseline")
+BIN = os.path.join(TOOL_DIR, "dis_baseline")
+
+
+def synthetic_pair(h, w, shift, seed):
+    from scipy.signal import convolve2d
+    r = np.random.default_rng(seed)
+    big = (r.random((h + 32, w + 32)) * 255).astype(np.float32)
+    k = np.ones((7, 7), np.float32) / 49.0
+    big = convolve2d(big, k, "same", "symm").astype(np.float32)
+    big = convolve2d(big, k, "same", "symm").astype(np.float32)
+    dx, dy = shift
+    i1 = big[16:16 + h, 16:16 + w]
+    i2 = big[16 - dy:16 - dy + h, 16 - dx:16 - dx + w]
+    return np.ascontiguousarray(i1), np.ascontiguousarray(i2)
+
+
+def run_cpp(i1, i2, cfg):
+    if not os.path.exists(BIN):
+        subprocess.run(["make", "-C", TOOL_DIR], check=True, capture_output=True)
+    h, w = i1.shape
+    with tempfile.TemporaryDirectory() as td:
+        p1, p2, po = (os.path.join(td, n) for n in ("a.f32", "b.f32", "o.f32"))
+        i1.astype("<f4").tofile(p1)
+        i2.astype("<f4").tofile(p2)
+        subprocess.run(
+            [BIN, str(w), str(h), str(cfg.iterations), str(cfg.patch_size),
+             str(cfg.coarsest_scale), str(cfg.finest_scale),
+             str(cfg.patch_overlap), str(int(cfg.patch_normalization)), "1",
+             p1, p2, po],
+            check=True, capture_output=True, timeout=1800)
+        return np.fromfile(po, dtype="<f4").reshape(h, w, 2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", choices=["small", "full"], default="small")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from dis_tpu.models.dis import dis_flow_padded
+
+    if args.sizes == "small":
+        cases = [
+            (96, 64, (2, 1), DISConfig(iterations=16, coarsest_scale=2,
+                                       patch_overlap=0.5)),
+            (128, 96, (3, -2), DISConfig(iterations=32, coarsest_scale=3,
+                                         patch_overlap=0.7)),
+        ]
+    else:
+        cases = [
+            (512, 384, (4, 2), DISConfig(iterations=16, coarsest_scale=3,
+                                         patch_overlap=0.3)),
+            (1024, 440, (6, -3), DISConfig(iterations=16, coarsest_scale=3,
+                                           patch_overlap=0.3)),
+        ]
+
+    results = []
+    for (w, h, shift, cfg) in cases:
+        i1, i2 = synthetic_pair(h, w, shift, seed=hash((w, h)) % 1000)
+        gt = np.zeros((h, w, 2), np.float32)
+        gt[..., 0], gt[..., 1] = shift
+
+        ours = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), cfg))
+        cpp = run_cpp(i1, i2, cfg)
+        orc = spec.dis_flow_oracle(i1, i2, cfg)
+
+        m = 12  # ignore borders where flow is unconstrained
+        sl = np.s_[m:-m, m:-m]
+        rec = {
+            "size": f"{w}x{h}", "shift": shift,
+            "iters": cfg.iterations, "overlap": cfg.patch_overlap,
+            "epe_tpu": round(epe(ours[sl], gt[sl]), 4),
+            "epe_cpp": round(epe(cpp[sl], gt[sl]), 4),
+            "epe_oracle": round(epe(orc[sl], gt[sl]), 4),
+            "delta_tpu_vs_cpp": round(float(np.abs(ours[sl] - cpp[sl]).mean()), 5),
+            "delta_tpu_vs_oracle": round(float(np.abs(ours[sl] - orc[sl]).mean()), 5),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    worst = max(r["delta_tpu_vs_cpp"] for r in results)
+    print(json.dumps({"summary": "parity", "max_mean_flow_delta_vs_cpp": worst,
+                      "pass": worst < 0.05}))
+
+
+if __name__ == "__main__":
+    main()

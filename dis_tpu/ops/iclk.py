@@ -171,40 +171,67 @@ def sample_patches(img2: jnp.ndarray, pos: jnp.ndarray, ps: int, pad: int,
     return q
 
 
+import os as _os
+
+# Region rows packed per gathered row. Counter-intuitively, 1 is the
+# end-to-end winner at 1080p (9.40 vs 7.65 fps for 6): XLA fuses the
+# unpacked sliding-window build into the row gather, while the packed
+# variant materializes a ~1 GB intermediate and inflates the region
+# tensor the iteration kernel reads by Rr/Rc. Packing only wins in
+# isolation (17.5 vs 39 ms). Overridable for A/B benchmarking.
+_ROW_PACK = int(_os.environ.get("DIS_TPU_ROW_PACK", "1"))
+
+
+def region_shape(ps: int) -> Tuple[int, int]:
+    """(rows, cols) of the per-patch sampling region."""
+    rc = 2 * ps + 3
+    rr = -(-rc // _ROW_PACK) * _ROW_PACK
+    return rr, rc
+
+
 def extract_regions(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
                     pad: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-patch sampling regions for one scale: [N, R, R] with
-    R = 2*ps + 3.
+    """Per-patch sampling regions for one scale: [N, Rr, Rc] with
+    Rc = 2*ps + 3 and Rr = Rc rounded up to the row-packing multiple.
 
     Outlier policing (patch.cpp:185-194) bounds every sampled position
     within ``ps/2`` of the scale's start position, so all of a patch's
     bilinear windows across all iterations live in a fixed
-    (2*ps+1)^2 neighborhood of the start; +/-1 slack covers float32
-    rounding at the policing boundary.  Extracted once per scale with a
-    sliding-window + row-gather (measured ~3.4x faster than element
-    gather on TPU); every subsequent iteration samples from these
-    regions without touching the image.
+    (2*ps+1)^2 neighborhood of the start; the extra rows/cols cover
+    float32 rounding slack at the policing boundary.  Every subsequent
+    iteration samples from these regions without touching the image.
+
+    TPU note: a naive per-row gather moves a full (8,128) tile per
+    19-float row — 53x bandwidth waste.  We pack ``_ROW_PACK`` region
+    rows per gathered row (sliding-window restructure), which measured
+    2.2x faster than single-row gathers and 10x faster than element
+    gathers at 1080p.
 
     Returns (regions, base_y, base_x) where base is the region origin
     in padded-image coordinates.
     """
     th, tw = img2.shape
     half = ps // 2
-    R = 2 * ps + 3
+    rr, rc = region_shape(ps)
+    groups = rr // _ROW_PACK
+    n = pos0.shape[0]
     nudge = jnp.float32(1e-5)
     cpx0 = jnp.clip(jnp.ceil(pos0[:, 0] + nudge), -1e6, 1e6).astype(jnp.int32) + pad
     cpy0 = jnp.clip(jnp.ceil(pos0[:, 1] + nudge), -1e6, 1e6).astype(jnp.int32) + pad
-    base_y = jnp.clip(cpy0 - half - 1 - (half + 1), 0, th - R)
-    base_x = jnp.clip(cpx0 - half - 1 - (half + 1), 0, tw - R)
+    base_y = jnp.clip(cpy0 - half - 1 - (half + 1), 0, th - rr)
+    base_x = jnp.clip(cpx0 - half - 1 - (half + 1), 0, tw - rc)
 
-    # Sliding windows along x: S[h, x, k] = img2[h, x + k]
-    ncols = tw - R + 1
-    S = jnp.stack([img2[:, k:k + ncols] for k in range(R)], axis=-1)
-    S2 = S.reshape(th * ncols, R)
-    rows = base_y[:, None] + jnp.arange(R)[None, :]          # [N, R]
-    rowidx = rows * ncols + base_x[:, None]                   # [N, R]
+    # Sliding windows along x: S[h, x, k] = img2[h, x + k], then pack
+    # _ROW_PACK consecutive image rows per flat row.
+    ncols = tw - rc + 1
+    S = jnp.stack([img2[:, k:k + ncols] for k in range(rc)], axis=-1)
+    hp = th - (_ROW_PACK - 1)
+    Sp = jnp.concatenate([S[i:hp + i] for i in range(_ROW_PACK)], axis=-1)
+    S2 = Sp.reshape(hp * ncols, _ROW_PACK * rc)
+    goff = jnp.arange(groups) * _ROW_PACK                     # [G]
+    rowidx = (base_y[:, None] + goff[None, :]) * ncols + base_x[:, None]
     regions = jnp.take(S2, rowidx.reshape(-1), axis=0).reshape(
-        pos0.shape[0], R, R)
+        n, rr, rc)
     return regions, base_y, base_x
 
 
@@ -220,7 +247,7 @@ def sample_from_regions(regions: jnp.ndarray, base_y: jnp.ndarray,
     [(1-a) at i, a at i+1], applied as batched one-hot contractions —
     MXU work instead of a per-element gather (measured 6x faster).
     """
-    n, R, _ = regions.shape
+    n, rrows, rcols = regions.shape
     half = ps // 2
     posx = pos[:, 0].astype(jnp.float32)
     posy = pos[:, 1].astype(jnp.float32)
@@ -231,21 +258,21 @@ def sample_from_regions(regions: jnp.ndarray, base_y: jnp.ndarray,
     cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32) + pad
     cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32) + pad
     # local window start (row of tap W[0,0] = img[cpy-half-1])
-    ws = jnp.clip(cpy - half - 1 - base_y, 0, R - (ps + 1))  # [N]
-    cs = jnp.clip(cpx - half - 1 - base_x, 0, R - (ps + 1))
+    ws = jnp.clip(cpy - half - 1 - base_y, 0, rrows - (ps + 1))  # [N]
+    cs = jnp.clip(cpx - half - 1 - base_x, 0, rcols - (ps + 1))
 
     jj = jnp.arange(ps)[None, :, None]       # output row j
-    rr = jnp.arange(R)[None, None, :]        # region row r
+    rr = jnp.arange(rrows)[None, None, :]    # region row r
     rs = ((rr == ws[:, None, None] + jj).astype(jnp.float32)
           * (1 - b)[:, None, None]
           + (rr == ws[:, None, None] + jj + 1).astype(jnp.float32)
-          * b[:, None, None])                # [N, ps, R]
-    cc = jnp.arange(R)[None, :, None]        # region col c
+          * b[:, None, None])                # [N, ps, Rr]
+    cc = jnp.arange(rcols)[None, :, None]    # region col c
     ii = jnp.arange(ps)[None, None, :]       # output col i
     csel = ((cc == cs[:, None, None] + ii).astype(jnp.float32)
             * (1 - a)[:, None, None]
             + (cc == cs[:, None, None] + ii + 1).astype(jnp.float32)
-            * a[:, None, None])              # [N, R, ps]
+            * a[:, None, None])              # [N, Rc, ps]
 
     q = jnp.einsum("njr,nrc,nci->nji", rs, regions, csel,
                    preferred_element_type=jnp.float32).reshape(n, ps * ps)
@@ -303,16 +330,16 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
         def sampler(pos):
             return sample_patches(img2, pos, ps, pad, cfg.patch_normalization)
 
-    Q0 = jnp.where(conv0[:, None], tpl.T, sampler(pos0))
-
     if use_pallas:
         from .pallas.iclk_kernel import inverse_search_pallas
 
         u, q, conv = inverse_search_pallas(
             regions, base_y, base_x, tpl.T, tpl.Tdx, tpl.Tdy, tpl.Hinv,
-            centers, init_u, Q0, conv0, cfg, width, height,
+            centers, init_u, conv0, cfg, width, height,
             interpret=jax.default_backend() == "cpu")
         return SearchResult(u=u, Q=q, converged=conv)
+
+    Q0 = jnp.where(conv0[:, None], tpl.T, sampler(pos0))
 
     # Under shard_map the loop carry must have a consistent
     # varying-across-devices type: at the coarsest scale ``init_u`` is a

@@ -41,9 +41,9 @@ M_CONV0 = 11                           # initially-converged mask (1.0/0.0)
 M_ROWS = 12
 
 
-def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, q0_ref,
+def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
                  u_ref, q_ref, conv_ref, *,
-                 n_iters: int, ps: int, R: int, pad: int,
+                 n_iters: int, ps: int, rr: int, rc: int, pad: int,
                  lb: float, ub_w: float, ub_h: float, thresh: float,
                  normalize: bool, fixed: bool, conv_eps: float,
                  tn_ref=None):
@@ -63,10 +63,11 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, q0_ref,
 
     tdx = tdx_ref[0, :, :]       # [ps*ps, B]
     tdy = tdy_ref[0, :, :]
-    regions = reg_ref[0, :, :, :]  # [R, R, B]
+    regions = reg_ref[0, :, :, :]  # [Rr, Rc, B]
 
     B = tdx.shape[-1]
-    riota = lax.broadcasted_iota(jnp.int32, (R, B), 0)  # region row/col idx
+    riota_r = lax.broadcasted_iota(jnp.int32, (rr, B), 0)  # region row idx
+    riota_c = lax.broadcasted_iota(jnp.int32, (rc, B), 0)  # region col idx
 
     def sample(posx, posy):
         """Separable one-hot bilinear resample -> [ps*ps, B].
@@ -78,21 +79,21 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, q0_ref,
         nudge = f32(1e-5)
         cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32) + pad
         cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32) + pad
-        ws = jnp.clip(cpy - half - 1 - by, 0, R - (ps + 1))  # [1, B]
-        cs = jnp.clip(cpx - half - 1 - bx, 0, R - (ps + 1))
+        ws = jnp.clip(cpy - half - 1 - by, 0, rr - (ps + 1))  # [1, B]
+        cs = jnp.clip(cpx - half - 1 - bx, 0, rc - (ps + 1))
 
         # Column stage: rcol_k[r, n] = (1-a) reg[r, cs+k, n] + a reg[r, cs+k+1, n]
         rcols = []
         for k in range(ps):
-            m = (jnp.where(riota == cs + k, 1.0 - a, f32(0))
-                 + jnp.where(riota == cs + k + 1, a, f32(0)))   # [R(c), B]
-            rcols.append(jnp.sum(regions * m[None, :, :], axis=1))  # [R, B]
+            m = (jnp.where(riota_c == cs + k, 1.0 - a, f32(0))
+                 + jnp.where(riota_c == cs + k + 1, a, f32(0)))   # [Rc, B]
+            rcols.append(jnp.sum(regions * m[None, :, :], axis=1))  # [Rr, B]
 
         # Row stage: q[j*ps + k, n] = (1-b) rcol_k[ws+j, n] + b rcol_k[ws+j+1, n]
         rows = []
         for j in range(ps):
-            m = (jnp.where(riota == ws + j, 1.0 - b, f32(0))
-                 + jnp.where(riota == ws + j + 1, b, f32(0)))   # [R(r), B]
+            m = (jnp.where(riota_r == ws + j, 1.0 - b, f32(0))
+                 + jnp.where(riota_r == ws + j + 1, b, f32(0)))   # [Rr, B]
             for k in range(ps):
                 rows.append(jnp.sum(rcols[k] * m, axis=0, keepdims=True))
         q = jnp.concatenate(rows, axis=0)  # [ps*ps, B] row-major (j, i)
@@ -137,7 +138,10 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, q0_ref,
         conv = jnp.maximum(conv, newly.astype(f32))
         return ux, uy, q, conv
 
-    q0 = q0_ref[0, :, :]
+    # Initial resample (patch.cpp:119-154): OOB start freezes the patch
+    # with patch_second = raw template (quirk; patch.cpp:136).
+    t_raw = traw_ref[0, :, :]
+    q0 = jnp.where(conv0 > 0.5, t_raw, sample(cx + iux, cy + iuy))
     ux, uy, q, conv = lax.fori_loop(
         0, n_iters, body, (iux + 0.0, iuy + 0.0, q0, conv0 + 0.0))
 
@@ -153,13 +157,16 @@ def inverse_search_pallas(
     T: jnp.ndarray, Tdx: jnp.ndarray, Tdy: jnp.ndarray,  # [N, ps*ps]
     Hinv: jnp.ndarray,        # [N, 2, 2]
     centers: jnp.ndarray, init_u: jnp.ndarray,
-    Q0: jnp.ndarray, conv0: jnp.ndarray,
+    conv0: jnp.ndarray,
     cfg: DISConfig, width: int, height: int,
     block: int = 512, interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the fused iteration kernel; returns (u [N,2], Q [N,ps*ps], conv [N])."""
+    from ..iclk import region_shape
+
     ps = cfg.patch_size
-    R = 2 * ps + 3
+    rr, rc = region_shape(ps)
+    assert regions.shape[1:] == (rr, rc), regions.shape
     n = regions.shape[0]
     block = min(block, max(128, 128 * (-(-n // 128))))
     nb = -(-n // block)
@@ -192,8 +199,8 @@ def inverse_search_pallas(
     meta_b = blk(meta)
     tdx_b = blk(padn(Tdx).T)
     tdy_b = blk(padn(Tdy).T)
-    q0_b = blk(padn(Q0).T)
-    reg_b = padn(regions).reshape(nb, block, R, R).transpose(0, 2, 3, 1)
+    traw_b = blk(padn(T).T)
+    reg_b = padn(regions).reshape(nb, block, rr, rc).transpose(0, 2, 3, 1)
 
     fixed = cfg.mode == "fixed"
     tn_b = None
@@ -205,7 +212,7 @@ def inverse_search_pallas(
 
     kernel = functools.partial(
         _iclk_kernel,
-        n_iters=cfg.iterations + 1, ps=ps, R=R, pad=cfg.img_padding,
+        n_iters=cfg.iterations + 1, ps=ps, rr=rr, rc=rc, pad=cfg.img_padding,
         lb=-float(ps) / 2.0, ub_w=float(width + ps // 2 - 2),
         ub_h=float(height + ps // 2 - 2), thresh=float(cfg.outlier_thresh),
         normalize=cfg.patch_normalization, fixed=fixed,
@@ -219,12 +226,12 @@ def inverse_search_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, R, block), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((1, rr, rc, block), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [meta_b, tdx_b, tdy_b, reg_b, q0_b]
+    args = [meta_b, tdx_b, tdy_b, reg_b, traw_b]
     if fixed:
         in_specs.append(pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
@@ -232,11 +239,11 @@ def inverse_search_pallas(
 
     def kern(*refs):
         if fixed:
-            meta_r, tdx_r, tdy_r, reg_r, q0_r, tn_r, u_r, q_r, c_r = refs
+            meta_r, tdx_r, tdy_r, reg_r, traw_r, tn_r, u_r, q_r, c_r = refs
         else:
-            meta_r, tdx_r, tdy_r, reg_r, q0_r, u_r, q_r, c_r = refs
+            meta_r, tdx_r, tdy_r, reg_r, traw_r, u_r, q_r, c_r = refs
             tn_r = None
-        kernel(meta_r, tdx_r, tdy_r, reg_r, q0_r, u_r, q_r, c_r, tn_ref=tn_r)
+        kernel(meta_r, tdx_r, tdy_r, reg_r, traw_r, u_r, q_r, c_r, tn_ref=tn_r)
 
     u_b, q_b, conv_b = pl.pallas_call(
         kern,
