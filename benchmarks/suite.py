@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark suite covering the five BASELINE.json configurations.
+
+Each config prints one JSON line.  On a single-chip machine the
+multi-device configs run over a virtual CPU mesh to validate structure
+(their numbers are not TPU numbers and are labeled accordingly);
+on a pod slice they run over the real mesh.
+
+  #1 single pair, 3-level pyramid, 8x8 patches, no refinement
+  #2 full DIS preset with variational refinement, single chip
+  #3 KITTI-size batched multi-pair across devices
+  #4 1080p frame-tiled with halo exchange (latency)
+  #5 sequence sharded along time + scaling efficiency
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def timed(fn, *args, reps=3):
+    import jax
+    out = fn(*args)
+    float(np.asarray(out).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    float(np.asarray(out).ravel()[0])
+    return (time.perf_counter() - t0) / reps
+
+
+def synth(h, w, seed=0):
+    r = np.random.default_rng(seed)
+    from scipy.signal import convolve2d
+    k = np.ones((5, 5), np.float32) / 25
+    img = convolve2d((r.random((h, w)) * 255).astype(np.float32), k,
+                     "same", "symm").astype(np.float32)
+    return img
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dis_tpu.config import DISConfig
+    from dis_tpu.models.dis import dis_flow_padded
+    from dis_tpu.parallel import (make_mesh, batched_flow_fn, tiled_flow_fn,
+                                  sequence_flow_fn)
+
+    platform = jax.default_backend()
+    ndev = jax.device_count()
+
+    def emit(**kw):
+        print(json.dumps({"platform": platform, **kw}), flush=True)
+
+    # 1: single Middlebury/Sintel-like pair, DIS-fast, no refinement
+    cfg1 = DISConfig(iterations=16, coarsest_scale=3, patch_overlap=0.3,
+                     early_exit=False)
+    h, w = 440, 1024  # padded Sintel dims
+    a, b = jnp.asarray(synth(h, w, 1)), jnp.asarray(synth(h, w, 2))
+    f1 = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg1).sum())
+    dt = timed(f1, a, b)
+    emit(config=1, desc="single Sintel pair DIS-fast", fps=round(1 / dt, 3))
+
+    # 2: full preset with variational refinement
+    cfg2 = DISConfig(iterations=16, coarsest_scale=3, patch_overlap=0.3,
+                     mode="fixed", refinement_iters=5, early_exit=False)
+    f2 = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg2).sum())
+    dt = timed(f2, a, b)
+    emit(config=2, desc="full DIS + variational refinement", fps=round(1 / dt, 3))
+
+    # 3: KITTI-size batched multi-pair
+    nb = min(ndev, 8)
+    mesh = make_mesh((nb, 1))
+    cfg3 = DISConfig(iterations=16, coarsest_scale=3, patch_overlap=0.3,
+                     early_exit=False)
+    kh, kw = 376, 1248  # KITTI padded to /8
+    bf = batched_flow_fn(cfg3, mesh)
+    aa = jnp.asarray(np.stack([synth(kh, kw, i) for i in range(nb)]))
+    bb = jnp.asarray(np.stack([synth(kh, kw, i + 50) for i in range(nb)]))
+    g = jax.jit(lambda x, y: bf(x, y).sum())
+    dt = timed(g, aa, bb)
+    emit(config=3, desc=f"KITTI batch x{nb} pairs", pairs_per_sec=round(nb / dt, 3),
+         devices=nb)
+
+    # 4: 1080p frame-tiled across devices (latency)
+    ns = 2 if ndev >= 2 else 1
+    if ns > 1:
+        smesh = make_mesh((1, ns), axis_names=("batch", "space"))
+        cfg4 = DISConfig(iterations=16, coarsest_scale=3, patch_overlap=0.3,
+                         early_exit=False)
+        th, tw = 1080, 1920
+        tf = tiled_flow_fn(cfg4, smesh, th, tw, max_motion_px=32)
+        t1 = jnp.asarray(synth(th, tw, 3))
+        t2 = jnp.asarray(synth(th, tw, 4))
+        g4 = jax.jit(lambda x, y: tf(x, y).sum())
+        dt = timed(g4, t1, t2)
+        emit(config=4, desc=f"1080p tiled x{ns} (latency)",
+             ms_per_frame=round(dt * 1000, 2), devices=ns)
+    else:
+        emit(config=4, desc="1080p tiled", skipped="needs >=2 devices")
+
+    # 5: sequence sharding + scaling efficiency
+    if ndev >= 2:
+        from dis_tpu.parallel.distributed import scaling_report
+        rep = scaling_report(h=192, w=256,
+                             device_counts=[c for c in (1, 2, 4, 8) if c <= ndev])
+        emit(config=5, desc="sequence/batch scaling", **rep)
+    else:
+        emit(config=5, desc="scaling", skipped="needs >=2 devices")
+
+
+if __name__ == "__main__":
+    main()

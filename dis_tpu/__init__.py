@@ -9,15 +9,13 @@ multi-pair data parallelism, spatial frame tiling with halo exchange,
 and multi-host sequence sharding via ``jax.sharding``.
 """
 
-from .config import DISConfig, DIS_FAST, DIS_COMPAT_DEFAULT
+from .config import (DISConfig, DIS_ULTRAFAST, DIS_FAST, DIS_MEDIUM,
+                     DIS_FULL, DIS_COMPAT_DEFAULT, PRESETS)
 from .models.dis import dis_flow, dis_flow_padded
 
 __all__ = [
-    "DISConfig",
-    "DIS_FAST",
-    "DIS_COMPAT_DEFAULT",
-    "dis_flow",
-    "dis_flow_padded",
+    "DISConfig", "DIS_ULTRAFAST", "DIS_FAST", "DIS_MEDIUM", "DIS_FULL",
+    "DIS_COMPAT_DEFAULT", "PRESETS", "dis_flow", "dis_flow_padded",
 ]
 
 __version__ = "0.1.0"

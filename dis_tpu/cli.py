@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("patch_norm", nargs="?", type=int, default=1)
     p.add_argument("draw_grid", nargs="?", type=int, default=0)
     # TPU-build flags
+    p.add_argument("--preset", choices=["ultrafast", "fast", "medium",
+                                        "full", "compat"], default=None,
+                   help="paper-style preset; overrides the positional params")
     p.add_argument("--mode", choices=["compat", "fixed"], default="compat")
     p.add_argument("--refine", type=int, default=0, metavar="ITERS",
                    help="variational refinement iterations (paper step)")
@@ -69,17 +72,26 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .models.dis import dis_flow
     from .utils import color, flo, io as uio, metrics
 
-    cfg = DISConfig(
-        iterations=args.max_iter,
-        patch_size=args.patch_size,
-        coarsest_scale=args.coarsest_scale,
-        finest_scale=args.finest_scale,
-        patch_overlap=args.patch_overlap,
-        patch_normalization=bool(args.patch_norm),
-        mode=args.mode,
-        refinement_iters=args.refine,
-        early_exit=not args.no_early_exit,
-    )
+    if args.preset:
+        from .config import PRESETS
+
+        cfg = PRESETS[args.preset]
+        if args.refine:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, refinement_iters=args.refine)
+    else:
+        cfg = DISConfig(
+            iterations=args.max_iter,
+            patch_size=args.patch_size,
+            coarsest_scale=args.coarsest_scale,
+            finest_scale=args.finest_scale,
+            patch_overlap=args.patch_overlap,
+            patch_normalization=bool(args.patch_norm),
+            mode=args.mode,
+            refinement_iters=args.refine,
+            early_exit=not args.no_early_exit,
+        )
 
     out_dir = args.out_dir or f"OF_{args.folder}"
     os.makedirs(out_dir, exist_ok=True)

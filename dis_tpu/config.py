@@ -112,18 +112,40 @@ class DISConfig:
         return int(width * f), int(height * f)
 
 
-# Fast preset in the spirit of the DIS paper's operating points (the
+# Preset family in the spirit of the DIS paper's operating points (the
 # reference's own defaults — 1000 iterations, stride 2 — are far off any
-# paper preset; see BASELINE.md).
+# paper preset; see BASELINE.md). Names follow the paper's fast /
+# medium / full ladder; "full" enables the variational refinement the
+# reference skips.
+DIS_ULTRAFAST = DISConfig(
+    iterations=12, patch_size=8, coarsest_scale=3, finest_scale=1,
+    patch_overlap=0.3, mode="fixed", early_exit=True,
+)
+
 DIS_FAST = DISConfig(
-    iterations=16,
-    patch_size=8,
-    coarsest_scale=3,
-    finest_scale=0,
-    patch_overlap=0.3,
-    patch_normalization=True,
-    mode="fixed",
+    iterations=16, patch_size=8, coarsest_scale=3, finest_scale=0,
+    patch_overlap=0.3, patch_normalization=True, mode="fixed",
     early_exit=True,
 )
 
+DIS_MEDIUM = DISConfig(
+    iterations=16, patch_size=8, coarsest_scale=3, finest_scale=0,
+    patch_overlap=0.5, mode="fixed", early_exit=True,
+    refinement_iters=5,
+)
+
+DIS_FULL = DISConfig(
+    iterations=64, patch_size=12, coarsest_scale=4, finest_scale=0,
+    patch_overlap=0.75, mode="fixed", early_exit=True,
+    refinement_iters=10,
+)
+
 DIS_COMPAT_DEFAULT = DISConfig()
+
+PRESETS = {
+    "ultrafast": DIS_ULTRAFAST,
+    "fast": DIS_FAST,
+    "medium": DIS_MEDIUM,
+    "full": DIS_FULL,
+    "compat": DIS_COMPAT_DEFAULT,
+}

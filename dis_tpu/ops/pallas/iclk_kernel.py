@@ -142,8 +142,30 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
     # with patch_second = raw template (quirk; patch.cpp:136).
     t_raw = traw_ref[0, :, :]
     q0 = jnp.where(conv0 > 0.5, t_raw, sample(cx + iux, cy + iuy))
-    ux, uy, q, conv = lax.fori_loop(
-        0, n_iters, body, (iux + 0.0, iuy + 0.0, q0, conv0 + 0.0))
+
+    # Block-level early exit: once every patch in the block is frozen
+    # (policing in compat mode, policing+convergence in fixed mode) no
+    # state can change, so stop iterating.  Output-identical to the
+    # fixed trip count; decisive for the reference's 1000-iteration
+    # default where most patches police out early.  Gated on the trip
+    # count: wrapping the unrolled sampling body in ``while_loop``
+    # inflates Mosaic compile time by minutes, which only pays off when
+    # the loop is long.
+    if n_iters > 64:
+        def wcond(state):
+            i, _, _, _, conv = state
+            return (i < n_iters) & (jnp.min(conv) < 0.5)
+
+        def wbody(state):
+            i, ux, uy, q, conv = state
+            ux, uy, q, conv = body(i, (ux, uy, q, conv))
+            return i + 1, ux, uy, q, conv
+
+        _, ux, uy, q, conv = lax.while_loop(
+            wcond, wbody, (0, iux + 0.0, iuy + 0.0, q0, conv0 + 0.0))
+    else:
+        ux, uy, q, conv = lax.fori_loop(
+            0, n_iters, body, (iux + 0.0, iuy + 0.0, q0, conv0 + 0.0))
 
     u_ref[0, 0:1, :] = ux
     u_ref[0, 1:2, :] = uy

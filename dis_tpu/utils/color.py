@@ -70,7 +70,13 @@ def compute_color(fx: np.ndarray, fy: np.ndarray) -> np.ndarray:
 
 def draw_optical_flow(flow: np.ndarray, maxmotion: float = -1.0) -> np.ndarray:
     """Colorize a [H, W, 2] flow field -> [H, W, 3] BGR uint8
-    (color_coding.cpp:83-117)."""
+    (color_coding.cpp:83-117).  Uses the native rasterizer when built."""
+    from . import native
+
+    if native.available():
+        out = native.flow_to_bgr(np.asarray(flow, np.float32), maxmotion)
+        if out is not None:
+            return out
     valid = is_flow_correct(flow)
     fx = np.where(valid, flow[..., 0], 0.0)
     fy = np.where(valid, flow[..., 1], 0.0)

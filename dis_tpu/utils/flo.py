@@ -21,6 +21,11 @@ TAG_BYTES = b"PIEH"
 def save_flo(path: str, data: np.ndarray) -> None:
     """Write a [H, W] or [H, W, C] float array (C in {1, 2, 4})."""
     arr = np.asarray(data, dtype=np.float32)
+    if arr.ndim == 3 and arr.shape[-1] in (1, 2, 4):
+        from . import native
+
+        if native.available() and native.flo_write(path, arr):
+            return
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, c = arr.shape

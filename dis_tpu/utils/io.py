@@ -26,7 +26,19 @@ def rgb_to_gray_u8(rgb: np.ndarray) -> np.ndarray:
 
 
 def imread_gray(path: str) -> np.ndarray:
-    """Load an image as uint8 grayscale with OpenCV-matching conversion."""
+    """Load an image as uint8 grayscale with OpenCV-matching conversion.
+
+    Uses the native C++ decoder (tools/native_io) when available; falls
+    back to PIL/imageio + the same fixed-point conversion.
+    """
+    if path.lower().endswith(".png"):
+        from . import native
+
+        if native.available():
+            with open(path, "rb") as f:
+                out = native.png_decode_gray(f.read())
+            if out is not None:
+                return out
     try:
         from PIL import Image
 

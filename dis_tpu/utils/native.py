@@ -1,0 +1,128 @@
+"""ctypes bindings for the native host-side I/O runtime.
+
+``tools/native_io`` provides PNG-gray decode, the .flo codec, and
+color-wheel rasterization in C++ (the reference's host runtime is
+native too — OpenCV + its own .flo code).  All call sites degrade to
+the pure-Python implementations when the library isn't built, so the
+package works everywhere; the native path removes Python/PIL overhead
+from the per-frame loop.
+
+Build: ``make -C tools/native_io`` (done automatically on first use if
+a compiler is available).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_DIR = os.path.join(_ROOT, "tools", "native_io")
+_SO = os.path.join(_DIR, "libnative_io.so")
+
+_lib = None
+_lock = threading.Lock()
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) and os.path.exists(
+                os.path.join(_DIR, "Makefile")):
+            try:
+                subprocess.run(["make", "-C", _DIR], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                return None
+        if not os.path.exists(_SO):
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.png_decode_gray.restype = ctypes.c_int
+        lib.png_decode_gray.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.flo_write.restype = ctypes.c_int
+        lib.flo_write.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.flo_peek.restype = ctypes.c_int
+        lib.flo_peek.argtypes = [ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_int),
+                                 ctypes.POINTER(ctypes.c_int)]
+        lib.flo_read.restype = ctypes.c_int
+        lib.flo_read.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                 ctypes.c_long, ctypes.c_int]
+        lib.flow_to_bgr.restype = None
+        lib.flow_to_bgr.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_float,
+                                    ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def png_decode_gray(data: bytes) -> Optional[np.ndarray]:
+    """Decode PNG bytes to uint8 gray; None if unsupported/unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    cap = len(data) * 64 + (1 << 20)  # generous: decompressed gray bound
+    out = np.empty(cap, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.png_decode_gray(
+        data, len(data), out.ctypes.data_as(ctypes.c_char_p), cap,
+        ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    return out[: w.value * h.value].reshape(h.value, w.value).copy()
+
+
+def flo_write(path: str, data: np.ndarray) -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(data, dtype="<f4")
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, c = arr.shape
+    return lib.flo_write(path.encode(), arr.ctypes.data, w, h, c) == 0
+
+
+def flo_read(path: str, channels: int = 2) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.flo_peek(path.encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    out = np.empty((h.value, w.value, channels), "<f4")
+    rc = lib.flo_read(path.encode(), out.ctypes.data, out.size, channels)
+    return out if rc == 0 else None
+
+
+def flow_to_bgr(flow: np.ndarray, maxmotion: float = -1.0) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(flow, dtype=np.float32)
+    h, w = arr.shape[:2]
+    out = np.empty((h, w, 3), np.uint8)
+    lib.flow_to_bgr(arr.ctypes.data, w, h, ctypes.c_float(maxmotion),
+                    out.ctypes.data)
+    return out
