@@ -112,7 +112,19 @@ def tpu_fps(i1, i2):
 
 def main():
     i1, i2 = synth_pair()
-    ours = tpu_fps(i1, i2)
+    # The tunneled TPU occasionally drops a remote-compile connection;
+    # retry so a transient failure doesn't lose the benchmark record.
+    ours = None
+    err = None
+    for attempt in range(3):
+        try:
+            ours = tpu_fps(i1, i2)
+            break
+        except Exception as e:  # noqa: BLE001
+            err = e
+            time.sleep(10)
+    if ours is None:
+        raise err
     base = baseline_fps(i1, i2)
     print(json.dumps({
         "metric": "frames/sec/chip @1080p DIS-fast (compat semantics)",

@@ -95,7 +95,7 @@ def main():
         smesh = make_mesh((1, ns), axis_names=("batch", "space"))
         cfg4 = DISConfig(iterations=16, coarsest_scale=3, patch_overlap=0.3,
                          early_exit=False)
-        th, tw = 1080, 1920
+        th, tw = 1088, 1920  # 1080p padded to /(2^coarsest * n_space)
         tf = tiled_flow_fn(cfg4, smesh, th, tw, max_motion_px=32)
         t1 = jnp.asarray(synth(th, tw, 3))
         t2 = jnp.asarray(synth(th, tw, 4))

@@ -181,15 +181,19 @@ def inverse_search_pallas(
     centers: jnp.ndarray, init_u: jnp.ndarray,
     conv0: jnp.ndarray,
     cfg: DISConfig, width: int, height: int,
-    block: int = 512, interpret: bool = False,
+    block: int = None, interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the fused iteration kernel; returns (u [N,2], Q [N,ps*ps], conv [N])."""
     from ..iclk import region_shape
+
+    import os as _os
 
     ps = cfg.patch_size
     rr, rc = region_shape(ps)
     assert regions.shape[1:] == (rr, rc), regions.shape
     n = regions.shape[0]
+    if block is None:
+        block = int(_os.environ.get("DIS_TPU_BLOCK", "512"))
     block = min(block, max(128, 128 * (-(-n // 128))))
     nb = -(-n // block)
     npad = nb * block
