@@ -34,9 +34,15 @@ from . import image as im
 _EPS2 = 1e-6  # Psi epsilon^2 (Charbonnier)
 
 
-def _warp_bilinear(img: jnp.ndarray, flow: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sample ``img`` at ``x + flow`` (edge clamp); returns (warped, in_bounds)."""
-    h, w = img.shape
+def _warp_bilinear(planes: jnp.ndarray, flow: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample stacked ``planes`` [H, W, C] at ``x + flow`` (edge clamp).
+
+    One shared set of tap indices/weights warps all C planes at once
+    (the refinement needs 6 warped planes per outer iteration; sharing
+    the gather indices is ~6x cheaper than per-plane warps).
+    Returns (warped [H, W, C], in_bounds [H, W]).
+    """
+    h, w, c = planes.shape
     ys, xs = jnp.mgrid[0:h, 0:w]
     fx = xs + flow[..., 0]
     fy = ys + flow[..., 1]
@@ -47,11 +53,11 @@ def _warp_bilinear(img: jnp.ndarray, flow: jnp.ndarray) -> Tuple[jnp.ndarray, jn
     y0 = jnp.floor(fyc).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
-    a = fxc - x0
-    b = fyc - y0
-    flat = img.ravel()
+    a = (fxc - x0)[..., None]
+    b = (fyc - y0)[..., None]
+    flat = planes.reshape(h * w, c)
     def g(yy, xx):
-        return flat[yy * w + xx]
+        return jnp.take(flat, yy * w + xx, axis=0)
     out = ((1 - a) * (1 - b) * g(y0, x0) + a * (1 - b) * g(y0, x1)
            + (1 - a) * b * g(y1, x0) + a * b * g(y1, x1))
     return out, inb
@@ -96,16 +102,14 @@ def variational_refinement(img1_padded: jnp.ndarray, img2_padded: jnp.ndarray,
         xp = jnp.pad(x, ((1, 1), (1, 1)), mode="edge")
         return xp[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
 
+    planes = jnp.stack([I2, I2x, I2y, I2xx, I2xy, I2yy], axis=-1)
+
     def outer(flow, _):
         u0 = flow[..., 0]
         v0 = flow[..., 1]
-        # Warp I2 and its derivative planes to the current flow.
-        W, inb = _warp_bilinear(I2, flow)
-        Wx, _ = _warp_bilinear(I2x, flow)
-        Wy, _ = _warp_bilinear(I2y, flow)
-        Wxx, _ = _warp_bilinear(I2xx, flow)
-        Wxy, _ = _warp_bilinear(I2xy, flow)
-        Wyy, _ = _warp_bilinear(I2yy, flow)
+        # Warp I2 and its derivative planes with one shared gather.
+        warped, inb = _warp_bilinear(planes, flow)
+        W, Wx, Wy, Wxx, Wxy, Wyy = [warped[..., i] for i in range(6)]
         m = inb.astype(jnp.float32)
 
         Iz = W - I1
