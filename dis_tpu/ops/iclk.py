@@ -321,7 +321,18 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
     use_regions = cfg.sampler == "region" or use_pallas
 
     if use_regions:
-        regions, base_y, base_x = extract_regions(img2, pos0, ps, pad)
+        from .pallas.extract_kernel import extract_regions_pallas, vmem_ok
+
+        rr, rc = region_shape(ps)
+        # The extraction kernel runs on real TPUs only (interpret mode
+        # is prohibitively slow for CPU tests); its bit-equivalence to
+        # the XLA path is covered by tests/test_pallas_extract.py.
+        if (use_pallas and rr == rc and vmem_ok(*img2.shape, ps)
+                and jax.default_backend() != "cpu"):
+            regions, base_y, base_x = extract_regions_pallas(
+                img2, pos0, ps, pad)
+        else:
+            regions, base_y, base_x = extract_regions(img2, pos0, ps, pad)
 
         def sampler(pos):
             return sample_from_regions(regions, base_y, base_x, pos, ps, pad,
