@@ -3,14 +3,14 @@
 The ten "compat core" parameters mirror the reference CLI
 (``/root/reference/src/main.cpp:63-101``); derived quantities follow
 ``/root/reference/src/optical_flow.cpp:33-59``.  New knobs (``mode``,
-``refinement``, mesh/tiling shapes, dtype) are TPU-build additions.
+``refinement``, sampler/kernel selection) are TPU-build additions.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,7 +62,6 @@ class DISConfig:
     refinement_gamma: float = 10.0
     early_exit: bool = True
     conv_eps: float = 0.01
-    dtype: str = "float32"
 
     def __post_init__(self):
         if self.mode not in ("compat", "fixed"):

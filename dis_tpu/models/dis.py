@@ -10,7 +10,6 @@ distinct static-shape stage, which is exactly what XLA wants.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +18,7 @@ from ..config import DISConfig
 from ..ops import image as im
 from ..ops import iclk
 from ..ops.densify import densify
-from ..ops.grid import GridGeometry, make_grid, init_from_coarser_flow
+from ..ops.grid import make_grid, init_from_coarser_flow
 from ..ops.pyramid import construct_pyramid
 from ..ops.variational import variational_refinement
 

@@ -8,7 +8,7 @@ computed in Python and baked into the jitted program.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import numpy as np
 import jax.numpy as jnp

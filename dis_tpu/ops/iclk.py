@@ -25,8 +25,7 @@ Quirk-compat details (SURVEY.md §2):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -86,8 +85,6 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
     the 3 * N * ps^2-element gather (measured ~20x faster on TPU).
     Produces patches in the reference's x-outer/y-inner order.
     """
-    from .grid import GridGeometry  # local import to avoid cycle
-
     s = geom.steps
     half = ps // 2
     n = geom.num_w * geom.num_h

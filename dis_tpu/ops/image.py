@@ -9,10 +9,8 @@ for even dims), general INTER_LINEAR resize, and the two
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 

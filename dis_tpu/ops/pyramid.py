@@ -9,7 +9,7 @@ gradients (main.cpp:41-49).
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple
 
 import jax.numpy as jnp
 

@@ -21,10 +21,8 @@ stencil, ideal for the VPU; no scatter, no data-dependent control flow.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

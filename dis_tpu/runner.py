@@ -11,8 +11,7 @@ over its local shard.
 from __future__ import annotations
 
 import os
-import time
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -10,7 +10,6 @@ flow, IO_flow.cpp:33-46).
 from __future__ import annotations
 
 import struct
-from typing import Union
 
 import numpy as np
 

@@ -9,9 +9,6 @@ bit on 8-bit inputs.
 
 from __future__ import annotations
 
-import os
-from typing import Optional
-
 import numpy as np
 
 
