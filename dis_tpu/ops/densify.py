@@ -23,13 +23,18 @@ from .grid import GridGeometry
 
 
 def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
-            ps: int, weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+            ps: int, weights: Optional[jnp.ndarray] = None,
+            out_row0: int = 0) -> jnp.ndarray:
     """Dense flow [height, width, 2] from per-patch ``u`` [N, 2].
 
     ``weights`` is an optional per-patch densification weight [N]
     (fixed mode: ``1/max(1, ||r||^2)``); None means the reference's
     uniform weight (Q6), for which the result reduces to the mean of
     overlapping patch flows.
+
+    For row-ranged grids (exact tiling) the output window starts at
+    global row ``out_row0`` and spans ``height`` rows; the caller must
+    include every patch row whose footprint intersects the window.
     """
     half = ps // 2
     s = geom.steps
@@ -48,9 +53,12 @@ def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
     # The correlation with lhs_dilation=s computes
     #   y[x] = sum_i v[i] * 1[x - i*s in [pad_lo - ps + 1, pad_lo]]
     # so pad_lo = off + ps/2 - 1 aligns the footprint, and pad_hi is
-    # chosen to make the output exactly [height, width].
+    # chosen to make the output exactly [height, width].  For a
+    # row-ranged grid the effective y offset folds in the grid's first
+    # patch row and the output window start.
+    eff_off_h = geom.iy0 * s + geom.offset_h - out_row0
     pad_lo_x = geom.offset_w + half - 1
-    pad_lo_y = geom.offset_h + half - 1
+    pad_lo_y = eff_off_h + half - 1
     dil_w = (geom.num_w - 1) * s + 1
     dil_h = (geom.num_h - 1) * s + 1
     pad_hi_x = width - 1 + (ps - 1) - pad_lo_x - (dil_w - 1)

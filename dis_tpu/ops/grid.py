@@ -3,12 +3,17 @@
 Patch centers at ``i * steps + offset`` with centered offsets; grid size
 ``ceil(dim / steps)`` per axis.  Geometry is static per (shape, config),
 computed in Python and baked into the jitted program.
+
+For exact spatial tiling, a grid can be restricted to a contiguous
+range of GLOBAL patch rows (``iy_range``): centers stay in global
+coordinates and densification geometry carries a row offset, so a
+stripe computes exactly the patches the untiled run would.
 """
 
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -16,28 +21,39 @@ import jax.numpy as jnp
 
 class GridGeometry(NamedTuple):
     num_w: int          # patches along x
-    num_h: int          # patches along y
-    offset_w: int
-    offset_h: int
+    num_h: int          # patches along y (local count when row-ranged)
+    offset_w: int       # global x offset of patch centers
+    offset_h: int       # global y offset of patch centers
     steps: int
-    centers: np.ndarray  # [N, 2] float32 (x, y), x-outer/y-inner order
+    centers: np.ndarray  # [N, 2] float32 (x, y) GLOBAL coords, x-outer order
+    iy0: int = 0        # first global patch-row index in this grid
+    global_num_h: int = -1  # full grid rows (== num_h when untiled)
 
 
-def make_grid(width: int, height: int, steps: int) -> GridGeometry:
+def make_grid(width: int, height: int, steps: int,
+              iy_range: Optional[Tuple[int, int]] = None) -> GridGeometry:
+    """Grid over a [height, width] image; optionally only global patch
+    rows [iy0, iy1)."""
     num_w = int(math.ceil(width / steps))
-    num_h = int(math.ceil(height / steps))
+    gnum_h = int(math.ceil(height / steps))
     off_w = int(math.floor((width - (num_w - 1) * steps) / 2))
-    off_h = int(math.floor((height - (num_h - 1) * steps) / 2))
+    off_h = int(math.floor((height - (gnum_h - 1) * steps) / 2))
+    iy0, iy1 = (0, gnum_h) if iy_range is None else iy_range
+    iy0 = max(0, iy0)
+    iy1 = min(gnum_h, iy1)
     xs = np.arange(num_w) * steps + off_w
-    ys = np.arange(num_h) * steps + off_h
+    ys = np.arange(iy0, iy1) * steps + off_h
     cx, cy = np.meshgrid(xs, ys, indexing="ij")
     centers = np.stack([cx.ravel(), cy.ravel()], -1).astype(np.float32)
-    return GridGeometry(num_w, num_h, off_w, off_h, steps, centers)
+    return GridGeometry(num_w, iy1 - iy0, off_w, off_h, steps, centers,
+                        iy0=iy0, global_num_h=gnum_h)
 
 
-def init_from_coarser_flow(geom: GridGeometry, flow_coarse: jnp.ndarray) -> jnp.ndarray:
+def init_from_coarser_flow(geom: GridGeometry, flow_coarse: jnp.ndarray,
+                           coarse_row_offset: int = 0) -> jnp.ndarray:
     """Nearest-neighbor init from the coarser scale's dense flow, x2
-    (patch_grid.cpp:108-119, quirk Q8). ``flow_coarse`` is [h/2, w/2, 2]."""
+    (patch_grid.cpp:108-119, quirk Q8). ``flow_coarse`` is [hc, wc, 2];
+    when it is a stripe, ``coarse_row_offset`` is its first global row."""
     cx = (geom.centers[:, 0] // 2).astype(np.int32)
-    cy = (geom.centers[:, 1] // 2).astype(np.int32)
+    cy = (geom.centers[:, 1] // 2).astype(np.int32) - coarse_row_offset
     return flow_coarse[cy, cx] * jnp.float32(2.0)

@@ -76,7 +76,8 @@ def extract_templates(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
 
 
 def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
-                           geom, ps: int, pad: int) -> PatchTemplates:
+                           geom, ps: int, pad: int,
+                           row0: int = 0) -> PatchTemplates:
     """Template extraction for a regular patch grid — gather-free.
 
     Patch centers sit on a regular ``steps``-strided lattice
@@ -88,7 +89,9 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
     s = geom.steps
     half = ps // 2
     n = geom.num_w * geom.num_h
-    y0 = geom.offset_h - half + pad
+    # first included patch row, in local-plane coords (row0 = global
+    # unpadded row of the stripe start; 0 when untiled)
+    y0 = geom.iy0 * s + geom.offset_h - half + pad - row0
     x0 = geom.offset_w - half + pad
 
     def tap_stack(plane):
@@ -125,7 +128,7 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
 
 
 def sample_patches(img2: jnp.ndarray, pos: jnp.ndarray, ps: int, pad: int,
-                   normalize: bool) -> jnp.ndarray:
+                   normalize: bool, row0: int = 0) -> jnp.ndarray:
     """Bilinear warped query patches [N, ps*ps] (patch.cpp:207-267).
 
     One gathered (ps+1)x(ps+1) window per patch, combined as four
@@ -151,7 +154,8 @@ def sample_patches(img2: jnp.ndarray, pos: jnp.ndarray, ps: int, pad: int,
     # defined for wildly out-of-range (frozen-patch) positions.
     nudge = jnp.float32(1e-5)
     cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32) + pad
-    cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32) + pad
+    cpy = (jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32)
+           + pad - row0)
 
     doff = jnp.arange(ps + 1)
     rows = jnp.clip((cpy - half - 1)[:, None, None] + doff[None, :, None], 0, tmp_h - 1)
@@ -187,7 +191,8 @@ def region_shape(ps: int) -> Tuple[int, int]:
 
 
 def extract_regions(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
-                    pad: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                    pad: int, row0: int = 0
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-patch sampling regions for one scale: [N, Rr, Rc] with
     Rc = 2*ps + 3 and Rr = Rc rounded up to the row-packing multiple.
 
@@ -214,8 +219,9 @@ def extract_regions(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
     n = pos0.shape[0]
     nudge = jnp.float32(1e-5)
     cpx0 = jnp.clip(jnp.ceil(pos0[:, 0] + nudge), -1e6, 1e6).astype(jnp.int32) + pad
-    cpy0 = jnp.clip(jnp.ceil(pos0[:, 1] + nudge), -1e6, 1e6).astype(jnp.int32) + pad
-    base_y = jnp.clip(cpy0 - half - 1 - (half + 1), 0, th - rr)
+    cpy0 = (jnp.clip(jnp.ceil(pos0[:, 1] + nudge), -1e6, 1e6).astype(jnp.int32)
+            + pad - row0)
+    base_y = jnp.clip(cpy0 - ps - 2, 0, th - rr)
     base_x = jnp.clip(cpx0 - half - 1 - (half + 1), 0, tw - rc)
 
     # Sliding windows along x: S[h, x, k] = img2[h, x + k], then pack
@@ -234,7 +240,8 @@ def extract_regions(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
 
 def sample_from_regions(regions: jnp.ndarray, base_y: jnp.ndarray,
                         base_x: jnp.ndarray, pos: jnp.ndarray, ps: int,
-                        pad: int, normalize: bool) -> jnp.ndarray:
+                        pad: int, normalize: bool,
+                        row0: int = 0) -> jnp.ndarray:
     """Bilinear warped query patches from pre-extracted regions.
 
     Mathematically identical to :func:`sample_patches` (same ceil-nudge
@@ -253,7 +260,8 @@ def sample_from_regions(regions: jnp.ndarray, base_y: jnp.ndarray,
 
     nudge = jnp.float32(1e-5)
     cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32) + pad
-    cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32) + pad
+    cpy = (jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32)
+           + pad - row0)
     # local window start (row of tap W[0,0] = img[cpy-half-1])
     ws = jnp.clip(cpy - half - 1 - base_y, 0, rrows - (ps + 1))  # [N]
     cs = jnp.clip(cpx - half - 1 - base_x, 0, rcols - (ps + 1))
@@ -286,7 +294,8 @@ class SearchResult(NamedTuple):
 
 def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
                    centers: jnp.ndarray, init_u: jnp.ndarray,
-                   cfg: DISConfig, width: int, height: int) -> SearchResult:
+                   cfg: DISConfig, width: int, height: int,
+                   row0: int = 0) -> SearchResult:
     """Run the full IC-LK iteration for every patch at one scale.
 
     Valid-region bounds from optical_flow.cpp:55-57:
@@ -327,23 +336,25 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
         if (use_pallas and rr == rc and vmem_ok(*img2.shape, ps)
                 and jax.default_backend() != "cpu"):
             regions, base_y, base_x = extract_regions_pallas(
-                img2, pos0, ps, pad)
+                img2, pos0, ps, pad, row0=row0)
         else:
-            regions, base_y, base_x = extract_regions(img2, pos0, ps, pad)
+            regions, base_y, base_x = extract_regions(img2, pos0, ps, pad,
+                                                      row0=row0)
 
         def sampler(pos):
             return sample_from_regions(regions, base_y, base_x, pos, ps, pad,
-                                       cfg.patch_normalization)
+                                       cfg.patch_normalization, row0=row0)
     else:
         def sampler(pos):
-            return sample_patches(img2, pos, ps, pad, cfg.patch_normalization)
+            return sample_patches(img2, pos, ps, pad,
+                                  cfg.patch_normalization, row0=row0)
 
     if use_pallas:
         from .pallas.iclk_kernel import inverse_search_pallas
 
         u, q, conv = inverse_search_pallas(
             regions, base_y, base_x, tpl.T, tpl.Tdx, tpl.Tdy, tpl.Hinv,
-            centers, init_u, conv0, cfg, width, height,
+            centers, init_u, conv0, cfg, width, height, row0=row0,
             interpret=jax.default_backend() == "cpu")
         return SearchResult(u=u, Q=q, converged=conv)
 

@@ -46,7 +46,7 @@ def vmem_ok(th: int, tw: int, ps: int, block: int = 256,
 
 
 def extract_regions_pallas(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
-                           pad: int, block: int = 256,
+                           pad: int, block: int = 256, row0: int = 0,
                            interpret: bool = False
                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """[N, Rc, Rc] regions + (base_y, base_x); drop-in for the XLA
@@ -58,7 +58,8 @@ def extract_regions_pallas(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
 
     nudge = jnp.float32(1e-5)
     cpx0 = jnp.clip(jnp.ceil(pos0[:, 0] + nudge), -1e6, 1e6).astype(jnp.int32) + pad
-    cpy0 = jnp.clip(jnp.ceil(pos0[:, 1] + nudge), -1e6, 1e6).astype(jnp.int32) + pad
+    cpy0 = (jnp.clip(jnp.ceil(pos0[:, 1] + nudge), -1e6, 1e6).astype(jnp.int32)
+            + pad - row0)
     base_y = jnp.clip(cpy0 - ps - 2, 0, th - rc)
     base_x = jnp.clip(cpx0 - ps - 2, 0, tw - rc)
 

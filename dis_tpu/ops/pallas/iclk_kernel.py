@@ -43,7 +43,8 @@ M_ROWS = 12
 
 def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
                  u_ref, q_ref, conv_ref, *,
-                 n_iters: int, ps: int, rr: int, rc: int, pad: int,
+                 n_iters: int, ps: int, rr: int, rc: int,
+                 pad_x: int, pad_y: int,
                  lb: float, ub_w: float, ub_h: float, thresh: float,
                  normalize: bool, fixed: bool, conv_eps: float,
                  tn_ref=None):
@@ -77,8 +78,8 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
         a = posx - jnp.floor(posx)          # [1, B]
         b = posy - jnp.floor(posy)
         nudge = f32(1e-5)
-        cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32) + pad
-        cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32) + pad
+        cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32) + pad_x
+        cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32) + pad_y
         ws = jnp.clip(cpy - half - 1 - by, 0, rr - (ps + 1))  # [1, B]
         cs = jnp.clip(cpx - half - 1 - bx, 0, rc - (ps + 1))
 
@@ -180,7 +181,7 @@ def inverse_search_pallas(
     Hinv: jnp.ndarray,        # [N, 2, 2]
     centers: jnp.ndarray, init_u: jnp.ndarray,
     conv0: jnp.ndarray,
-    cfg: DISConfig, width: int, height: int,
+    cfg: DISConfig, width: int, height: int, row0: int = 0,
     block: int = None, interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the fused iteration kernel; returns (u [N,2], Q [N,ps*ps], conv [N])."""
@@ -238,7 +239,8 @@ def inverse_search_pallas(
 
     kernel = functools.partial(
         _iclk_kernel,
-        n_iters=cfg.iterations + 1, ps=ps, rr=rr, rc=rc, pad=cfg.img_padding,
+        n_iters=cfg.iterations + 1, ps=ps, rr=rr, rc=rc,
+        pad_x=cfg.img_padding, pad_y=cfg.img_padding - row0,
         lb=-float(ps) / 2.0, ub_w=float(width + ps // 2 - 2),
         ub_h=float(height + ps // 2 - 2), thresh=float(cfg.outlier_thresh),
         normalize=cfg.patch_normalization, fixed=fixed,

@@ -74,6 +74,67 @@ def exchange_halo(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
     return jnp.concatenate([top, x, bot], axis=0)
 
 
+def stripe_bounds(cfg: DISConfig, height: int, n: int, idx: int,
+                  halo: int):
+    """(row0, ext_h, own_r0, own_h) for stripe ``idx`` of ``n`` with the
+    given halo, clamped at frame edges; all multiples of 2**coarsest."""
+    f = 2 ** cfg.coarsest_scale
+    own_h = height // n
+    own_r0 = idx * own_h
+    row0 = max(0, own_r0 - halo)
+    ext_hi = min(height, own_r0 + own_h + halo)
+    return row0, ext_hi - row0, own_r0, own_h
+
+
+def min_stripe_halo(cfg: DISConfig, width: int, height: int, n: int) -> int:
+    """Smallest halo (multiple of 2**coarsest) for which every stripe of
+    an n-way split passes the exact-tiling static validation.
+
+    Dominated by the coarsest scale: a ``ps``-pixel patch there spans
+    ``ps * 2**coarsest`` finest-level rows, so exact tiling duplicates a
+    substantial band (the cost of the reference's coarse-to-fine
+    locality).
+    """
+    from ..models.dis import validate_stripe_geometry
+
+    f = 2 ** cfg.coarsest_scale
+    for halo in range(f, height + f, f):
+        try:
+            for i in range(n):
+                row0, ext_h, own_r0, own_h = stripe_bounds(
+                    cfg, height, n, i, halo)
+                validate_stripe_geometry(cfg, width, height, row0, ext_h,
+                                         own_r0, own_h)
+            return halo
+        except ValueError:
+            continue
+    raise ValueError(f"no viable halo for {n} stripes of height {height}")
+
+
+def tiled_flow_exact(img1: jnp.ndarray, img2: jnp.ndarray, cfg: DISConfig,
+                     n_stripes: int, halo: int):
+    """EXACT tiled execution: compute the frame as ``n_stripes`` stripes
+    via :func:`dis_flow_stripe` and concatenate — every row matches the
+    untiled pipeline (tests/test_stripe_exact.py).
+
+    This is the host-level pattern for multi-host deployments (each host
+    traces its own stripe program, so static per-stripe geometry is
+    fine).  Within a single controller it runs the stripes sequentially;
+    the ``shard_map`` path below remains the single-trace, seam-banded
+    latency mode.
+    """
+    from ..models.dis import dis_flow_stripe
+
+    h, w = img1.shape
+    outs = []
+    for i in range(n_stripes):
+        row0, ext_h, own_r0, own_h = stripe_bounds(cfg, h, n_stripes, i, halo)
+        outs.append(dis_flow_stripe(
+            img1[row0:row0 + ext_h], img2[row0:row0 + ext_h], cfg,
+            row0=row0, own_r0=own_r0, own_h=own_h, global_h=h))
+    return jnp.concatenate(outs, axis=0)
+
+
 def tiled_flow_fn(cfg: DISConfig, mesh: Mesh, height: int, width: int,
                   axis: str = "space", max_motion_px: int = 32):
     """Returns a jitted fn ([H, W], [H, W]) -> [H, W, 2] with the frame
