@@ -11,11 +11,12 @@ and multi-host sequence sharding via ``jax.sharding``.
 
 from .config import (DISConfig, DIS_ULTRAFAST, DIS_FAST, DIS_MEDIUM,
                      DIS_FULL, DIS_COMPAT_DEFAULT, PRESETS)
-from .models.dis import dis_flow, dis_flow_padded
+from .models.dis import dis_flow, dis_flow_padded, dis_flow_stripe
 
 __all__ = [
     "DISConfig", "DIS_ULTRAFAST", "DIS_FAST", "DIS_MEDIUM", "DIS_FULL",
     "DIS_COMPAT_DEFAULT", "PRESETS", "dis_flow", "dis_flow_padded",
+    "dis_flow_stripe",
 ]
 
 __version__ = "0.1.0"

@@ -82,3 +82,17 @@ def test_tiled_flow_exact_full_frame():
                                       n_stripes=2, halo=halo))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_stripe_finest_scale_1():
+    cfg = DISConfig(iterations=6, coarsest_scale=2, finest_scale=1,
+                    patch_overlap=0.5, early_exit=False)
+    h, w = 384, 48
+    i1, i2 = synthetic_pair(h, w, shift=(2.0, 0.0), seed=19)
+    want = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), cfg))
+    row0 = 64
+    got = np.asarray(dis_flow_stripe(
+        jnp.asarray(i1[row0:]), jnp.asarray(i2[row0:]), cfg,
+        row0=row0, own_r0=192, own_h=64, global_h=h))
+    # output at scale 1: rows [96, 128) of the half-res field
+    np.testing.assert_allclose(got, want[96:128], atol=1e-5)
