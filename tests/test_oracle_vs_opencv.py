@@ -94,3 +94,34 @@ def test_pad_divisible_matches_reference_split(rng):
     crop = spec.crop_padding(
         np.stack([padded, padded], -1), padw, padh, 101, 55)
     np.testing.assert_array_equal(crop[..., 0], img)
+
+
+def test_full_pyramid_chain_vs_opencv(rng):
+    """The complete pyramid recipe (main.cpp:12-50) replayed with cv2."""
+    img = (rng.random((56, 72)) * 255).astype(np.float32)
+    coarsest, pad = 3, 8
+    got_img, got_dx, got_dy = spec.construct_pyramid(img, coarsest, pad)
+
+    lvl = None
+    for i in range(coarsest + 1):
+        if i == 0:
+            dx = cv2.Sobel(img, cv2.CV_32F, 1, 0, ksize=3, scale=1 / 8.0)
+            dy = cv2.Sobel(img, cv2.CV_32F, 0, 1, ksize=3, scale=1 / 8.0)
+            lvl = cv2.sqrt(dx * dx + dy * dy)
+        else:
+            lvl = cv2.resize(lvl, None, fx=0.5, fy=0.5,
+                             interpolation=cv2.INTER_LINEAR)
+        ldx = cv2.Sobel(lvl, cv2.CV_32F, 1, 0, ksize=3, scale=1 / 8.0)
+        ldy = cv2.Sobel(lvl, cv2.CV_32F, 0, 1, ksize=3, scale=1 / 8.0)
+        want_img = cv2.copyMakeBorder(lvl, pad, pad, pad, pad,
+                                      cv2.BORDER_REPLICATE)
+        want_dx = cv2.copyMakeBorder(ldx, pad, pad, pad, pad,
+                                     cv2.BORDER_CONSTANT, value=0)
+        want_dy = cv2.copyMakeBorder(ldy, pad, pad, pad, pad,
+                                     cv2.BORDER_CONSTANT, value=0)
+        np.testing.assert_allclose(got_img[i], want_img, atol=5e-3,
+                                   err_msg=f"img level {i}")
+        np.testing.assert_allclose(got_dx[i], want_dx, atol=5e-3,
+                                   err_msg=f"dx level {i}")
+        np.testing.assert_allclose(got_dy[i], want_dy, atol=5e-3,
+                                   err_msg=f"dy level {i}")
