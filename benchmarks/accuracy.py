@@ -65,50 +65,50 @@ def run_cpp(i1, i2, cfg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", choices=["small", "full"], default="small")
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON records to this file "
+                         "(per-round committed parity artifact)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     from dis_tpu.models.dis import dis_flow_padded
+    from dis_tpu.utils.synth import FAMILIES, masked_epe
 
+    # Motion-family grid (VERDICT round-1 item #5): >=6 families at >=2
+    # sizes, same <0.1 px EPE-delta gate vs the C++ reference semantics.
     if args.sizes == "small":
-        cases = [
-            (96, 64, (2, 1), DISConfig(iterations=16, coarsest_scale=2,
-                                       patch_overlap=0.5)),
-            (128, 96, (3, -2), DISConfig(iterations=32, coarsest_scale=3,
-                                         patch_overlap=0.7)),
-        ]
+        dims = [(128, 96), (192, 128)]
+        cfg = DISConfig(iterations=16, coarsest_scale=2, patch_overlap=0.5)
     else:
-        cases = [
-            (512, 384, (4, 2), DISConfig(iterations=16, coarsest_scale=3,
-                                         patch_overlap=0.3)),
-            (1024, 440, (6, -3), DISConfig(iterations=16, coarsest_scale=3,
-                                           patch_overlap=0.3)),
-        ]
+        dims = [(512, 384), (1024, 440)]
+        cfg = DISConfig(iterations=16, coarsest_scale=3, patch_overlap=0.3)
 
     results = []
-    for (w, h, shift, cfg) in cases:
-        i1, i2 = synthetic_pair(h, w, shift, seed=hash((w, h)) % 1000)
-        gt = np.zeros((h, w, 2), np.float32)
-        gt[..., 0], gt[..., 1] = shift
+    for (w, h) in dims:
+        for family, gen in sorted(FAMILIES.items()):
+            i1, i2, gt, valid = gen(h, w)
+            ours = np.asarray(dis_flow_padded(
+                jnp.asarray(i1), jnp.asarray(i2), cfg))
+            cpp = run_cpp(i1, i2, cfg)
+            orc = spec.dis_flow_oracle(i1, i2, cfg)
 
-        ours = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), cfg))
-        cpp = run_cpp(i1, i2, cfg)
-        orc = spec.dis_flow_oracle(i1, i2, cfg)
-
-        m = 12  # ignore borders where flow is unconstrained
-        sl = np.s_[m:-m, m:-m]
-        rec = {
-            "size": f"{w}x{h}", "shift": shift,
-            "iters": cfg.iterations, "overlap": cfg.patch_overlap,
-            "epe_tpu": round(epe(ours[sl], gt[sl]), 4),
-            "epe_cpp": round(epe(cpp[sl], gt[sl]), 4),
-            "epe_oracle": round(epe(orc[sl], gt[sl]), 4),
-            "delta_tpu_vs_cpp": round(float(np.abs(ours[sl] - cpp[sl]).mean()), 5),
-            "delta_tpu_vs_oracle": round(float(np.abs(ours[sl] - orc[sl]).mean()), 5),
-        }
-        results.append(rec)
-        print(json.dumps(rec), flush=True)
+            m = 12  # borders are unconstrained for any local method
+            sl = np.s_[m:-m, m:-m]
+            rec = {
+                "family": family, "size": f"{w}x{h}",
+                "iters": cfg.iterations, "overlap": cfg.patch_overlap,
+                "platform": jax.default_backend(),
+                "epe_tpu": round(masked_epe(ours, gt, valid, m), 4),
+                "epe_cpp": round(masked_epe(cpp, gt, valid, m), 4),
+                "epe_oracle": round(masked_epe(orc, gt, valid, m), 4),
+                "delta_tpu_vs_cpp": round(
+                    float(np.abs(ours[sl] - cpp[sl]).mean()), 5),
+                "delta_tpu_vs_oracle": round(
+                    float(np.abs(ours[sl] - orc[sl]).mean()), 5),
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
 
     # Pass criterion: ACCURACY parity (|EPE difference| vs the C++
     # reference semantics).  The raw flow-field delta is reported but
@@ -120,10 +120,15 @@ def main():
     # differing from CPU identically.
     worst_epe = max(abs(r["epe_tpu"] - r["epe_cpp"]) for r in results)
     worst_delta = max(r["delta_tpu_vs_cpp"] for r in results)
-    print(json.dumps({"summary": "parity",
-                      "max_abs_epe_diff_vs_cpp": round(worst_epe, 4),
-                      "max_mean_flow_delta_vs_cpp": worst_delta,
-                      "pass": worst_epe < 0.1}))
+    summary = {"summary": "parity", "sizes": args.sizes,
+               "families": len(FAMILIES), "cases": len(results),
+               "max_abs_epe_diff_vs_cpp": round(worst_epe, 4),
+               "max_mean_flow_delta_vs_cpp": worst_delta,
+               "pass": bool(worst_epe < 0.1)}
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"records": results, **summary}, f, indent=1)
 
 
 if __name__ == "__main__":

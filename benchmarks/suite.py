@@ -96,7 +96,7 @@ def main():
         cfg4 = DISConfig(iterations=16, coarsest_scale=3, patch_overlap=0.3,
                          early_exit=False)
         th, tw = 1088, 1920  # 1080p padded to /(2^coarsest * n_space)
-        tf = tiled_flow_fn(cfg4, smesh, th, tw, max_motion_px=32)
+        tf = tiled_flow_fn(cfg4, smesh, th, tw)
         t1 = jnp.asarray(synth(th, tw, 3))
         t2 = jnp.asarray(synth(th, tw, 4))
         g4 = jax.jit(lambda x, y: tf(x, y).sum())

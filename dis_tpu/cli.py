@@ -24,22 +24,42 @@ from typing import List, Optional
 import numpy as np
 
 
+# (name, type, reference default) of the ten positional parameters, in
+# the reference's order (main.cpp:63-72).
+_POSITIONALS = (
+    ("folder", str, "alley_1"),
+    ("start_num_img", int, 1),
+    ("end_num_img", int, 50),
+    ("max_iter", int, 1000),
+    ("patch_size", int, 8),
+    ("coarsest_scale", int, 3),
+    ("finest_scale", int, 0),
+    ("patch_overlap", float, 0.7),
+    ("patch_norm", int, 1),
+    ("draw_grid", int, 0),
+)
+
+USAGE = (
+    "usage: dis-tpu [folder start_num_img end_num_img [max_iter "
+    "patch_size coarsest_scale finest_scale patch_overlap patch_norm "
+    "draw_grid]]\n"
+    "positional parameters must be given as exactly 0, 3 or 10 values "
+    "(reference arity rule, main.cpp:73-101)"
+)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="dis-tpu",
         description="TPU-native DIS optical flow (reference-compatible CLI)",
     )
-    # the reference's ten positional parameters, all optional
-    p.add_argument("folder", nargs="?", default="alley_1")
-    p.add_argument("start_num_img", nargs="?", type=int, default=1)
-    p.add_argument("end_num_img", nargs="?", type=int, default=50)
-    p.add_argument("max_iter", nargs="?", type=int, default=1000)
-    p.add_argument("patch_size", nargs="?", type=int, default=8)
-    p.add_argument("coarsest_scale", nargs="?", type=int, default=3)
-    p.add_argument("finest_scale", nargs="?", type=int, default=0)
-    p.add_argument("patch_overlap", nargs="?", type=float, default=0.7)
-    p.add_argument("patch_norm", nargs="?", type=int, default=1)
-    p.add_argument("draw_grid", nargs="?", type=int, default=0)
+    # The reference's ten positional parameters, collected as one list so
+    # the 0/3/10 arity rule (main.cpp:73-101) can be enforced: any other
+    # count is rejected with a usage message, like the reference.
+    p.add_argument("params", nargs="*", metavar="PARAM",
+                   help="0, 3 or 10 positional parameters: folder "
+                        "start end [max_iter patch_size coarsest finest "
+                        "overlap norm draw]")
     # TPU-build flags
     p.add_argument("--preset", choices=["ultrafast", "fast", "medium",
                                         "full", "compat"], default=None,
@@ -62,8 +82,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    # Reference arity rule: 0, 3 or 10 positionals (main.cpp:73-101).
     args = build_parser().parse_args(argv)
+
+    # Reference arity rule: exactly 0, 3 or 10 positionals; anything
+    # else prints usage and fails (main.cpp:73-101).
+    if len(args.params) not in (0, 3, 10):
+        print(USAGE, file=sys.stderr)
+        return 2
+    for (name, typ, default), val in zip(
+            _POSITIONALS, args.params + [None] * (10 - len(args.params))):
+        try:
+            setattr(args, name, typ(val) if val is not None else default)
+        except ValueError:
+            print(f"invalid value for {name}: {val!r}\n{USAGE}",
+                  file=sys.stderr)
+            return 2
 
     import jax
     import jax.numpy as jnp
@@ -97,6 +130,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     flow_fn = jax.jit(lambda a, b: dis_flow(a, b, cfg))
+    from .utils import checks
+    if checks.enabled():
+        # DIS_TPU_CHECK=1: run under checkify NaN/OOB/invariant guards.
+        flow_fn = checks.checked(flow_fn)
 
     draw_grid = bool(args.draw_grid)
     if draw_grid:

@@ -60,6 +60,13 @@ class DISConfig:
     refinement_alpha: float = 10.0
     refinement_delta: float = 5.0
     refinement_gamma: float = 10.0
+    # DIS paper sec. 3.3 refines at EVERY pyramid level (the refined
+    # flow seeds the next-finer scale); False refines only once at the
+    # finest scale.  Compat mode is unaffected either way (the reference
+    # skips refinement entirely, README.md:11).
+    refine_per_level: bool = False
+    # Red-black Gauss-Seidel sweeps per IRLS outer iteration.
+    refinement_inner_sweeps: int = 5
     early_exit: bool = True
     conv_eps: float = 0.01
 
@@ -130,13 +137,13 @@ DIS_FAST = DISConfig(
 DIS_MEDIUM = DISConfig(
     iterations=16, patch_size=8, coarsest_scale=3, finest_scale=0,
     patch_overlap=0.5, mode="fixed", early_exit=True,
-    refinement_iters=5,
+    refinement_iters=5, refine_per_level=True,
 )
 
 DIS_FULL = DISConfig(
     iterations=64, patch_size=12, coarsest_scale=4, finest_scale=0,
     patch_overlap=0.75, mode="fixed", early_exit=True,
-    refinement_iters=10,
+    refinement_iters=10, refine_per_level=True,
 )
 
 DIS_COMPAT_DEFAULT = DISConfig()

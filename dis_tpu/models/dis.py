@@ -23,6 +23,25 @@ from ..ops.pyramid import construct_pyramid
 from ..ops.variational import variational_refinement
 
 
+def _fixed_weights(res, tpl, cfg: DISConfig) -> jnp.ndarray:
+    """Residual-adaptive densification weights (DIS paper eq. 4):
+    ``1 / max(1, ||Q - T||^2)`` with the mean-normalized template.
+
+    Patches frozen at start (OOB init, quirk path patch.cpp:132-136)
+    never resampled: their ``Q`` is the raw template, so the residual
+    would be the template's mean energy, not an intensity error.  Those
+    patches get a defined constant weight of 1.0 instead (mirrored in
+    oracle/reference_semantics.py so pipeline == oracle).
+    """
+    ps2 = cfg.num_points_patch
+    Tn = tpl.T
+    if cfg.patch_normalization:
+        Tn = Tn - Tn.sum(1, keepdims=True) / ps2
+    r2 = ((res.Q - Tn) ** 2).sum(axis=1)
+    return jnp.where(res.start_oob, jnp.float32(1.0),
+                     1.0 / jnp.maximum(1.0, r2))
+
+
 def dis_flow_padded(img1: jnp.ndarray, img2: jnp.ndarray,
                     cfg: DISConfig, return_debug: bool = False):
     """DIS flow on an already divisibility-padded grayscale float pair.
@@ -63,29 +82,28 @@ def dis_flow_padded(img1: jnp.ndarray, img2: jnp.ndarray,
             res = iclk.inverse_search(
                 l2.img, tpl, centers, init_u, cfg, sw, sh)
 
-            if cfg.mode == "fixed":
-                # Residual-adaptive densification weights (DIS paper);
-                # res.Q is the final warped query patch.
-                ps2 = cfg.num_points_patch
-                Tn = tpl.T
-                if cfg.patch_normalization:
-                    Tn = Tn - Tn.sum(1, keepdims=True) / ps2
-                r2 = ((res.Q - Tn) ** 2).sum(axis=1)
-                wts = 1.0 / jnp.maximum(1.0, r2)
-            else:
-                wts = None
+            wts = _fixed_weights(res, tpl, cfg) if cfg.mode == "fixed" else None
             flow = densify(res.u, geom, sw, sh, cfg.patch_size, wts)
+            if cfg.refinement_iters > 0 and cfg.refine_per_level:
+                # DIS paper sec. 3.3: refine the densified flow at every
+                # scale; the refined field seeds the next-finer init.
+                with jax.named_scope(f"refine_s{scale}"):
+                    flow = variational_refinement(l1.img, l2.img, flow, cfg)
             if return_debug:
                 p = cfg.img_padding
                 debug.append((scale, geom.centers, res.u,
                               l1.img[p:p + sh, p:p + sw]))
 
-    if cfg.refinement_iters > 0:
+    if cfg.refinement_iters > 0 and not cfg.refine_per_level:
         with jax.named_scope("variational_refinement"):
             s = cfg.finest_scale
             lvl1, lvl2 = pyr1[s], pyr2[s]
             flow = variational_refinement(
                 lvl1.img, lvl2.img, flow, cfg)
+    from ..utils import checks
+    if checks.enabled():
+        checks.check(jnp.isfinite(flow).all(),
+                     "pipeline produced non-finite flow")
     if return_debug:
         return flow, debug
     return flow
@@ -222,15 +240,7 @@ def dis_flow_stripe(img1_ext: jnp.ndarray, img2_ext: jnp.ndarray,
             res = iclk.inverse_search(
                 l2.img, tpl, centers, init_u, cfg, sw, gh_s, row0=r0_s)
 
-            if cfg.mode == "fixed":
-                ps2 = cfg.num_points_patch
-                Tn = tpl.T
-                if cfg.patch_normalization:
-                    Tn = Tn - Tn.sum(1, keepdims=True) / ps2
-                r2 = ((res.Q - Tn) ** 2).sum(axis=1)
-                wts = 1.0 / jnp.maximum(1.0, r2)
-            else:
-                wts = None
+            wts = _fixed_weights(res, tpl, cfg) if cfg.mode == "fixed" else None
             wlo, whi = win_plan[scale]
             flow = densify(res.u, geom, sw, whi - wlo, cfg.patch_size, wts,
                            out_row0=wlo)

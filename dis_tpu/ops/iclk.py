@@ -290,6 +290,9 @@ class SearchResult(NamedTuple):
     u: jnp.ndarray          # [N, 2] final displacement per patch
     Q: jnp.ndarray          # [N, ps*ps] final warped query patch
     converged: jnp.ndarray  # [N] bool
+    start_oob: jnp.ndarray  # [N] bool: start position was out of bounds, so
+    #                         the patch froze immediately and Q is the raw
+    #                         template, not a resample (patch.cpp:132-136)
 
 
 def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
@@ -321,6 +324,7 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
     pos0 = centers + init_u
     start = pos0
     conv0 = oob(pos0)
+    start_oob = conv0
 
     use_pallas = cfg.kernel == "pallas" or (
         cfg.kernel == "auto" and jax.default_backend() != "cpu")
@@ -356,7 +360,8 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
             regions, base_y, base_x, tpl.T, tpl.Tdx, tpl.Tdy, tpl.Hinv,
             centers, init_u, conv0, cfg, width, height, row0=row0,
             interpret=jax.default_backend() == "cpu")
-        return SearchResult(u=u, Q=q, converged=conv)
+        _guard_result(u, q, centers, init_u, pos0, thresh, cfg)
+        return SearchResult(u=u, Q=q, converged=conv, start_oob=conv0)
 
     Q0 = jnp.where(conv0[:, None], tpl.T, sampler(pos0))
 
@@ -403,4 +408,24 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
         def fbody(i, state):
             return body(state)
         _, u, Q, converged = lax.fori_loop(0, n_iters, fbody, (0, u0, Q0, conv0))
-    return SearchResult(u=u, Q=Q, converged=converged)
+    _guard_result(u, Q, centers, init_u, pos0, thresh, cfg)
+    return SearchResult(u=u, Q=Q, converged=converged, start_oob=start_oob)
+
+
+def _guard_result(u, Q, centers, init_u, start, thresh, cfg) -> None:
+    """DIS_TPU_CHECK invariants on a scale's search result: finite
+    state, and the Q9 policing guarantee — every patch's final position
+    is within ``outlier_thresh`` of its start OR exactly reset to the
+    init (patch.cpp:185-194).  No-ops unless checks are enabled."""
+    from ..utils import checks
+
+    if not checks.enabled():
+        return
+    checks.check(jnp.isfinite(u).all(), "IC-LK produced non-finite u")
+    checks.check(jnp.isfinite(Q).all(), "IC-LK produced non-finite Q")
+    d = start - (centers + u)
+    dist = jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)
+    at_init = jnp.all(u == init_u, axis=1)
+    ok = (dist <= jnp.float32(thresh) + 1e-3) | at_init
+    checks.check(ok.all(), "policing invariant violated: patch moved "
+                 "beyond outlier_thresh without reset")

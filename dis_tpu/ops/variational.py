@@ -29,7 +29,15 @@ from jax import lax
 from ..config import DISConfig
 from . import image as im
 
-_EPS2 = 1e-6  # Psi epsilon^2 (Charbonnier)
+# Charbonnier epsilon^2 per term.  The classic eps=1e-3 assumes
+# intensities normalized to [0, 1]; this pipeline works on 0..255
+# planes, so the data/gradient epsilon is scaled accordingly (eps=0.1
+# intensity units) — with the unscaled value the IRLS inner iteration
+# oscillates around the |r|=0 kink instead of converging (measured:
+# lagged-weight limit cycle with wd ~ 5e2 at r ~ 4e-3).  The smoothness
+# term is in flow units (px), where the small epsilon is appropriate.
+_EPS2_DATA = 1e-2
+_EPS2_SMOOTH = 1e-6
 
 
 def _warp_bilinear(planes: jnp.ndarray, flow: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -61,9 +69,9 @@ def _warp_bilinear(planes: jnp.ndarray, flow: jnp.ndarray) -> Tuple[jnp.ndarray,
     return out, inb
 
 
-def _psi_deriv(s2: jnp.ndarray) -> jnp.ndarray:
+def _psi_deriv(s2: jnp.ndarray, eps2: float) -> jnp.ndarray:
     """Psi'(s^2) = 1 / (2 sqrt(s^2 + eps^2)) — the IRLS weight."""
-    return 0.5 * lax.rsqrt(s2 + _EPS2)
+    return 0.5 * lax.rsqrt(s2 + jnp.float32(eps2))
 
 
 def variational_refinement(img1_padded: jnp.ndarray, img2_padded: jnp.ndarray,
@@ -118,10 +126,10 @@ def variational_refinement(img1_padded: jnp.ndarray, img2_padded: jnp.ndarray,
             du, dv = carry
             # Lagged robust weights.
             r_d = Iz + Wx * du + Wy * dv
-            wd = delta * _psi_deriv(r_d * r_d) * m
+            wd = delta * _psi_deriv(r_d * r_d, _EPS2_DATA) * m
             r_gx = Izx + Wxx * du + Wxy * dv
             r_gy = Izy + Wxy * du + Wyy * dv
-            wg = gamma * _psi_deriv(r_gx * r_gx + r_gy * r_gy) * m
+            wg = gamma * _psi_deriv(r_gx * r_gx + r_gy * r_gy, _EPS2_DATA) * m
 
             U = u0 + du
             V = v0 + dv
@@ -129,7 +137,8 @@ def variational_refinement(img1_padded: jnp.ndarray, img2_padded: jnp.ndarray,
             Uy = _shift_edge(U, 1, 0) - U
             Vx = _shift_edge(V, 0, 1) - V
             Vy = _shift_edge(V, 1, 0) - V
-            ws_c = alpha * _psi_deriv(Ux * Ux + Uy * Uy + Vx * Vx + Vy * Vy)
+            ws_c = alpha * _psi_deriv(Ux * Ux + Uy * Uy + Vx * Vx + Vy * Vy,
+                                      _EPS2_SMOOTH)
 
             # Edge weights: average of the endpoint diffusivities.
             def edge_w(dy, dx):
@@ -167,7 +176,7 @@ def variational_refinement(img1_padded: jnp.ndarray, img2_padded: jnp.ndarray,
             return (du, dv), None
 
         (du, dv), _ = lax.scan(inner, (jnp.zeros_like(u0), jnp.zeros_like(v0)),
-                               None, length=5)
+                               None, length=cfg.refinement_inner_sweeps)
         new_flow = jnp.stack([u0 + du, v0 + dv], axis=-1)
         return new_flow, None
 

@@ -451,6 +451,16 @@ def dis_flow_oracle(img1: np.ndarray, img2: np.ndarray, cfg: DISConfig) -> np.nd
                 if cfg.patch_normalization else T
             r2 = ((Qf - Tn) ** 2).sum(axis=1)
             wts = 1.0 / np.maximum(1.0, r2)
+            # Patches frozen at start (OOB init) never resampled; their
+            # residual is undefined, so they get constant weight 1.0
+            # (matches models/dis.py::_fixed_weights).
+            ps2f = np.float32(-float(cfg.patch_size) / 2.0)
+            ubw = np.float32(sw + cfg.patch_size // 2 - 2)
+            ubh = np.float32(sh + cfg.patch_size // 2 - 2)
+            p0 = centers + init_u
+            start_oob = ((p0[:, 0] < ps2f) | (p0[:, 1] < ps2f)
+                         | (p0[:, 0] > ubw) | (p0[:, 1] > ubh))
+            wts = np.where(start_oob, np.float32(1.0), wts)
         else:
             wts = None
         dense = densify(u, centers, sw, sh, cfg.patch_size, wts)

@@ -43,6 +43,54 @@ def init_multi_host(coordinator: Optional[str] = None,
         )
 
 
+def shard_frame_range(start: int, end: int, num_hosts: int,
+                      host_id: int) -> tuple:
+    """Contiguous split of the pair indices [start, end) across hosts.
+
+    Pair i uses frames (i, i+1); a host's shard is self-contained
+    because frame files are read from shared storage (the one-frame
+    neighbor halo is a file read, not a device transfer).  Remainder
+    pairs go to the leading hosts.
+    """
+    if not (0 <= host_id < num_hosts):
+        raise ValueError(f"host_id {host_id} not in [0, {num_hosts})")
+    total = max(0, end - start)
+    base = total // num_hosts
+    rem = total % num_hosts
+    lo = start + host_id * base + min(host_id, rem)
+    hi = lo + base + (1 if host_id < rem else 0)
+    return lo, hi
+
+
+def run_sequence_shard(folder: str, start: int, end: int, cfg,
+                       ckpt_root: str, host_id: Optional[int] = None,
+                       num_hosts: Optional[int] = None, **kwargs) -> dict:
+    """One host's share of a sequence run, checkpointed per shard.
+
+    Wires together the multi-host pieces (SURVEY §5 elastic recovery):
+    ``init_multi_host`` (env-driven, no-op on one host), the contiguous
+    frame-range shard for this host, and a per-shard resumable
+    checkpoint directory — so a killed worker relaunches with the same
+    command line and continues where it stopped
+    (tests/test_multihost.py runs the deliberate-kill scenario).
+    """
+    from ..runner import run_sequence
+
+    init_multi_host()
+    if num_hosts is None:
+        num_hosts = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if host_id is None:
+        host_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    lo, hi = shard_frame_range(start, end, num_hosts, host_id)
+    summary = run_sequence(
+        folder, lo, hi, cfg,
+        ckpt_dir=os.path.join(ckpt_root, f"host_{host_id:03d}"),
+        **kwargs)
+    summary.update(host_id=host_id, num_hosts=num_hosts,
+                   shard=(lo, hi))
+    return summary
+
+
 def measure_throughput(cfg, h: int, w: int, n_devices: int,
                        reps: int = 3) -> float:
     """Pairs/sec for a batch of n_devices pairs sharded over n_devices."""

@@ -1,0 +1,77 @@
+"""Adversarial motion families: pipeline vs oracle parity + sanity EPE.
+
+Extends the parity evidence beyond constant translation (round-1
+VERDICT missing-item #6): rotation, zoom, shear, discontinuous motion
+with occlusion, and a nonrigid smooth warp, all with analytic ground
+truth from ``dis_tpu.utils.synth``.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dis_tpu.config import DISConfig
+from dis_tpu.models.dis import dis_flow_padded
+from dis_tpu.oracle import reference_semantics as spec
+from dis_tpu.utils.synth import FAMILIES, masked_epe
+
+CFG = DISConfig(iterations=16, coarsest_scale=2, patch_overlap=0.5,
+                early_exit=False)
+
+# Loose per-family sanity ceilings for the COMPAT pipeline (quirk Q3
+# biases the solver; these bound regressions, not absolute quality).
+EPE_CEILING = {
+    "translation": 0.40,
+    "rotation": 0.45,
+    "zoom": 0.45,
+    "shear": 0.45,
+    "discontinuous": 0.60,
+    "smooth_warp": 0.60,
+}
+
+
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+def test_family_pipeline_matches_oracle(family):
+    """On every motion family the JAX pipeline reproduces the NumPy
+    reference-semantics oracle.
+
+    Gate: EPE parity + mean flow delta + flipped-pixel fraction.  The
+    IC-LK loop is a chaotic fixed-point iteration: fp noise can flip
+    the Q9 policing decision for near-threshold patches, perturbing a
+    small subset of patch flows without hurting accuracy (PARITY.md) —
+    so a per-pixel max gate is the wrong instrument on discontinuous/
+    occlusion content."""
+    h, w = 96, 128
+    i1, i2, gt, valid = FAMILIES[family](h, w)
+    ours = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), CFG))
+    orc = spec.dis_flow_oracle(i1, i2, CFG)
+    d = np.abs(ours - orc)
+    e_ours = masked_epe(ours, gt, valid)
+    e_orc = masked_epe(orc, gt, valid)
+    assert abs(e_ours - e_orc) < 0.01, (family, e_ours, e_orc)
+    assert d.mean() < 1e-3, (family, d.mean())
+    assert (d > 1e-3).mean() < 0.02, (family, (d > 1e-3).mean())
+
+    assert e_ours < EPE_CEILING[family], (family, e_ours)
+
+
+def test_fixed_mode_not_worse_on_families():
+    """The fixed-mode solver (true residual + adaptive weights) should
+    be at least comparable to compat across the families (it exists to
+    improve quality; guard against regressions)."""
+    import dataclasses
+
+    h, w = 96, 128
+    worse = []
+    for family in sorted(FAMILIES):
+        i1, i2, gt, valid = FAMILIES[family](h, w)
+        compat = np.asarray(dis_flow_padded(
+            jnp.asarray(i1), jnp.asarray(i2), CFG))
+        fixed = np.asarray(dis_flow_padded(
+            jnp.asarray(i1), jnp.asarray(i2),
+            dataclasses.replace(CFG, mode="fixed")))
+        ec = masked_epe(compat, gt, valid)
+        ef = masked_epe(fixed, gt, valid)
+        if ef > ec * 1.25 + 0.05:
+            worse.append((family, ec, ef))
+    assert not worse, worse

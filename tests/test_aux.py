@@ -105,3 +105,34 @@ def test_cli_end_to_end(tmp_path):
     assert len(recs) == 2 and all("epe" in rec for rec in recs)
     # constant 1-px horizontal roll: EPE should be small
     assert recs[0]["epe"] < 0.5, recs
+
+
+@pytest.mark.parametrize("n_args", [1, 2, 5, 9])
+def test_cli_arity_rejected(capsys, n_args):
+    """The reference accepts exactly 0, 3 or 10 positionals and prints a
+    usage message otherwise (main.cpp:73-101)."""
+    from dis_tpu.cli import main
+
+    rc = main(["arg"] * n_args)
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "usage" in err and "0, 3 or 10" in err
+
+
+def test_cli_arity_bad_type(capsys):
+    from dis_tpu.cli import main
+
+    rc = main(["folder", "one", "3"])
+    assert rc == 2
+    assert "invalid value" in capsys.readouterr().err
+
+
+def test_cli_arity_accepted_counts(tmp_path, capsys, monkeypatch):
+    """0- and 3-arity runs get past the arity gate (and then fail on the
+    missing image data, like the reference's -1 return)."""
+    from dis_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["no_such_folder", "1", "2"]) == 1
+    assert "No image data" in capsys.readouterr().out
+    assert main([]) == 1  # defaults: folder alley_1, also missing

@@ -59,26 +59,64 @@ def test_batched_epe_psum():
     assert float(mean_epe) == pytest.approx(np.mean(per), rel=1e-4)
 
 
-def test_tiled_interior_matches_untiled():
+def test_tiled_matches_untiled_everywhere():
+    """Exact tiling: the 4-device shard_map output equals the untiled
+    pipeline at EVERY row — no seam band (VERDICT round-1 item #1)."""
     h, w = 128, 48
     i1, i2 = synthetic_pair(h, w, shift=(1.0, 1.0), seed=3)
     cfg = DISConfig(iterations=6, coarsest_scale=2, patch_overlap=0.5,
                     early_exit=False)
     mesh = make_mesh((1, 4), axis_names=("batch", "space"))
-    fn = tiled_flow_fn(cfg, mesh, h, w, max_motion_px=8)
+    fn = tiled_flow_fn(cfg, mesh, h, w)
     got = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))
     want = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), cfg))
     assert got.shape == want.shape
-    # Seams at rows 32/64/96; compare away from the seam bands.
-    from dis_tpu.parallel.tiles import halo_rows
-    band = 12
-    for t0 in (0, 32, 64, 96):
-        lo = t0 + band
-        hi = t0 + 32 - band
-        if lo < hi:
-            np.testing.assert_allclose(got[lo:hi], want[lo:hi], atol=0.2)
-    # and the flow is broadly correct everywhere (no NaNs/garbage)
-    assert np.isfinite(got).all()
+    # Identical math everywhere (the sequential stripe engine is bitwise
+    # exact, tests/test_stripe_exact.py); the single-trace shard_map
+    # program picks up ~1e-5 of XLA fusion reassociation noise.
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_tiled_exact_large_motion():
+    """Motion larger than a patch (handled via the coarse-to-fine chain)
+    still matches untiled exactly under tiling."""
+    h, w = 256, 48
+    i1, i2 = synthetic_pair(h, w, shift=(3.0, 6.0), seed=7)
+    cfg = DISConfig(iterations=8, coarsest_scale=3, patch_overlap=0.5,
+                    early_exit=False)
+    mesh = make_mesh((1, 2), axis_names=("batch", "space"))
+    fn = tiled_flow_fn(cfg, mesh, h, w)
+    got = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))
+    want = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), cfg))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_tiled_with_refinement_matches_untiled():
+    """Refinement is gathered and run globally — tiled == untiled."""
+    h, w = 128, 48
+    i1, i2 = synthetic_pair(h, w, shift=(1.0, 0.5), seed=9)
+    cfg = DISConfig(iterations=6, coarsest_scale=2, patch_overlap=0.5,
+                    early_exit=False, mode="fixed", refinement_iters=2)
+    mesh = make_mesh((1, 4), axis_names=("batch", "space"))
+    fn = tiled_flow_fn(cfg, mesh, h, w)
+    got = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))
+    want = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), cfg))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_tiled_finest_scale_1():
+    """finest_scale != 0: output is the downscaled field; tiling must
+    window it correctly (round-1 ADVICE medium finding)."""
+    h, w = 128, 48
+    i1, i2 = synthetic_pair(h, w, shift=(2.0, 0.0), seed=21)
+    cfg = DISConfig(iterations=6, coarsest_scale=2, finest_scale=1,
+                    patch_overlap=0.5, early_exit=False)
+    mesh = make_mesh((1, 2), axis_names=("batch", "space"))
+    fn = tiled_flow_fn(cfg, mesh, h, w)
+    got = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))
+    want = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), cfg))
+    assert got.shape == want.shape == (h // 2, w // 2, 2)
+    np.testing.assert_allclose(got, want, atol=1e-4)
 
 
 def test_sequence_sharded_matches_serial():
