@@ -1,0 +1,270 @@
+#!/usr/bin/env python
+"""Batched A/B experiments for the TPU chip (round-2 perf work).
+
+Remote compiles over the tunnel cost 2-10 min each, so every candidate
+is compiled and measured in ONE session.  Prints one JSON line per
+experiment.  Timing uses the device-side scalar-fetch pattern from
+bench.py (block_until_ready is a no-op on the tunneled platform).
+
+Usage:
+    python benchmarks/tpu_experiments.py [--only stage1,stage2,...]
+Stages: densify, pyramid, extract, search, frame
+"""
+
+import argparse
+import importlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+W, H = 1920, 1080
+PADH = 1088  # divisible by 8
+
+
+def timed(fn, *args, reps=4):
+    """Seconds per call, RTT-corrected, via scalar fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    rtt_fn = jax.jit(lambda: jnp.float32(1.0))
+    float(fn(*args))  # compile + warm
+    float(rtt_fn())
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(rtt_fn())
+    rtt = (time.perf_counter() - t0) / 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(fn(*args))
+    return (time.perf_counter() - t0) / reps - rtt
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def synth(h, w, seed=0):
+    from scipy.signal import convolve2d
+
+    r = np.random.default_rng(seed)
+    k = np.ones((7, 7), np.float32) / 49.0
+    return convolve2d((r.random((h, w)) * 255).astype(np.float32), k,
+                      "same", "symm").astype(np.float32)
+
+
+def bench_densify():
+    import jax
+    import jax.numpy as jnp
+
+    import dis_tpu.ops.densify as dmod
+    from dis_tpu.ops.grid import make_grid
+
+    for steps in (5, 2):
+        geom = make_grid(W, PADH, steps)
+        n = geom.num_w * geom.num_h
+        r = np.random.default_rng(0)
+        u = jnp.asarray(r.standard_normal((n, 2)).astype(np.float32))
+        wts = jnp.asarray(r.random(n).astype(np.float32) + 0.1)
+        for algo in ("dilated", "batch", "phases"):
+            dmod._ALGO = algo
+            for wv, name in ((None, "uniform"), (wts, "weighted")):
+                fn = jax.jit(lambda uu, ww=wv: dmod.densify(
+                    uu, geom, W, PADH, 8, ww).sum())
+                dt = timed(fn, u)
+                emit(stage="densify", algo=algo, steps=steps, weights=name,
+                     ms=round(dt * 1e3, 3))
+
+
+def bench_pyramid():
+    import jax
+    import jax.numpy as jnp
+
+    from dis_tpu.ops.pyramid import construct_pyramid
+
+    img = jnp.asarray(synth(PADH, W))
+
+    def full(x):
+        lv = construct_pyramid(x, 3, 8)
+        return sum(l.img.sum() + l.dx.sum() + l.dy.sum() for l in lv)
+
+    dt = timed(jax.jit(full), img)
+    emit(stage="pyramid", algo="xla_current", ms=round(dt * 1e3, 3))
+
+    # Pallas fused level kernel, if present
+    try:
+        from dis_tpu.ops.pallas.pyramid_kernel import construct_pyramid_pallas
+
+        def fullp(x):
+            lv = construct_pyramid_pallas(x, 3, 8)
+            return sum(l.img.sum() + l.dx.sum() + l.dy.sum() for l in lv)
+
+        dt = timed(jax.jit(fullp), img)
+        emit(stage="pyramid", algo="pallas_fused", ms=round(dt * 1e3, 3))
+    except ImportError:
+        emit(stage="pyramid", algo="pallas_fused", skipped="not implemented")
+
+
+def bench_pyramid_micro():
+    """Per-primitive timings to locate the pyramid hotspot (the whole
+    chain measures 12.7 ms at 1080p vs ~0.2 ms of HBM traffic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dis_tpu.ops import image as im
+
+    img = jnp.asarray(synth(PADH, W))
+    prims = {
+        "sobel_x": lambda x: im.sobel3(x, "x").sum(),
+        "sobel_y": lambda x: im.sobel3(x, "y").sum(),
+        "magnitude": lambda x: im.gradient_magnitude(x).sum(),
+        "replicate_pad8": lambda x: im.replicate_pad(x, 8, 8, 8, 8).sum(),
+        "constant_pad8": lambda x: im.constant_pad(x, 8, 8, 8, 8).sum(),
+        "resize_half": lambda x: im.resize_half(x).sum(),
+        "sobel_both_fused": lambda x: (im.sobel3(x, "x")
+                                       + im.sobel3(x, "y")).sum(),
+        "copy": lambda x: (x * 2.0).sum(),
+    }
+    for name, f in prims.items():
+        dt = timed(jax.jit(f), img)
+        emit(stage="pyramid_micro", op=name, ms=round(dt * 1e3, 3))
+
+
+def _scale0_problem():
+    """Finest-scale extraction+search inputs at 1080p DIS-fast compat."""
+    import jax.numpy as jnp
+
+    from dis_tpu.config import DISConfig
+    from dis_tpu.ops import iclk
+    from dis_tpu.ops.grid import make_grid
+    from dis_tpu.ops.pyramid import construct_pyramid
+
+    cfg = DISConfig(iterations=16, patch_size=8, coarsest_scale=3,
+                    finest_scale=0, patch_overlap=0.3, mode="compat",
+                    early_exit=False)
+    i1 = jnp.asarray(synth(PADH, W, 1))
+    i2 = jnp.asarray(synth(PADH, W, 2))
+    pyr1 = construct_pyramid(i1, 3, cfg.img_padding)
+    pyr2 = construct_pyramid(i2, 3, cfg.img_padding)
+    l1, l2 = pyr1[0], pyr2[0]
+    geom = make_grid(l1.width, l1.height, cfg.steps)
+    centers = jnp.asarray(geom.centers)
+    tpl = iclk.extract_templates_grid(l1.img, l1.dx, l1.dy, geom,
+                                      cfg.patch_size, cfg.img_padding)
+    r = np.random.default_rng(3)
+    init_u = jnp.asarray(
+        r.uniform(-2, 2, centers.shape).astype(np.float32))
+    return cfg, l2, tpl, centers, init_u, geom
+
+
+def bench_extract():
+    import jax
+    import jax.numpy as jnp
+
+    from dis_tpu.ops import iclk
+    from dis_tpu.ops.pallas.extract_kernel import extract_regions_pallas
+
+    cfg, l2, tpl, centers, init_u, geom = _scale0_problem()
+    pos0 = centers + init_u
+    ps, pad = cfg.patch_size, cfg.img_padding
+
+    fn_x = jax.jit(lambda p: iclk.extract_regions(l2.img, p, ps, pad)[0].sum())
+    emit(stage="extract", algo="xla_regions",
+         ms=round(timed(fn_x, pos0) * 1e3, 3))
+    fn_p = jax.jit(lambda p: extract_regions_pallas(
+        l2.img, p, ps, pad)[0].sum())
+    emit(stage="extract", algo="pallas_kernel",
+         ms=round(timed(fn_p, pos0) * 1e3, 3))
+
+    # transpose variants on realistic region data
+    n = centers.shape[0]
+    rr, rc = iclk.region_shape(ps)
+    block = 512
+    nb = -(-n // block)
+    npad = nb * block
+    regs = jnp.asarray(np.random.default_rng(4).random(
+        (npad, rr, rc)).astype(np.float32))
+    t4 = jax.jit(lambda x: x.reshape(nb, block, rr, rc)
+                 .transpose(0, 2, 3, 1).sum())
+    t2 = jax.jit(lambda x: x.reshape(npad, rr * rc).T
+                 .reshape(rr, rc, nb, block).sum())
+    emit(stage="extract", algo="transpose_4d",
+         ms=round(timed(t4, regs) * 1e3, 3))
+    emit(stage="extract", algo="transpose_2d",
+         ms=round(timed(t2, regs) * 1e3, 3))
+
+
+def bench_search():
+    import jax
+
+    import dis_tpu.ops.pallas.iclk_kernel as kmod
+    from dis_tpu.ops import iclk
+
+    cfg, l2, tpl, centers, init_u, geom = _scale0_problem()
+    sw, sh = geom.num_w * 0 + l2.width, l2.height
+
+    for sampler in ("onehot", "align"):
+        for layout in ("4d", "2d"):
+            kmod._SAMPLER = sampler
+            kmod._REG_LAYOUT = layout
+            fn = jax.jit(lambda iu: iclk.inverse_search(
+                l2.img, tpl, centers, iu, cfg, sw, sh).u.sum())
+            dt = timed(fn, init_u)
+            emit(stage="search", sampler=sampler, layout=layout,
+                 ms=round(dt * 1e3, 3))
+
+
+def bench_frame():
+    import jax
+    import jax.numpy as jnp
+
+    import dis_tpu.ops.densify as dmod
+    import dis_tpu.ops.pallas.iclk_kernel as kmod
+    from dis_tpu.config import DISConfig
+    from dis_tpu.models.dis import dis_flow_padded
+
+    cfg = DISConfig(iterations=16, patch_size=8, coarsest_scale=3,
+                    finest_scale=0, patch_overlap=0.3, mode="compat",
+                    early_exit=False)
+    i1 = jnp.asarray(synth(PADH, W, 1))
+    i2 = jnp.asarray(synth(PADH, W, 2))
+
+    combos = [
+        ("dilated", "onehot", "4d"),   # round-1 shipped
+        ("phases", "align", "2d"),     # round-2 candidates
+    ]
+    for dalgo, sampler, layout in combos:
+        dmod._ALGO = dalgo
+        kmod._SAMPLER = sampler
+        kmod._REG_LAYOUT = layout
+        fn = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg).sum())
+        dt = timed(fn, i1, i2)
+        emit(stage="frame", densify=dalgo, sampler=sampler, layout=layout,
+             fps=round(1.0 / dt, 3), ms=round(dt * 1e3, 2))
+
+
+STAGES = {"densify": bench_densify, "pyramid": bench_pyramid,
+          "pyramid_micro": bench_pyramid_micro,
+          "extract": bench_extract, "search": bench_search,
+          "frame": bench_frame}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    names = args.only.split(",") if args.only else list(STAGES)
+    for name in names:
+        try:
+            STAGES[name]()
+        except Exception as e:  # noqa: BLE001
+            emit(stage=name, error=f"{type(e).__name__}: {e}"[:400])
+
+
+if __name__ == "__main__":
+    main()

@@ -14,12 +14,24 @@ applied to the per-patch weights.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
 from jax import lax
 
 from .grid import GridGeometry
+
+# Densification algorithm selection (A/B benchmarking; all variants are
+# bit-compatible up to fp reassociation and tested against each other):
+#   dilated  — one depthwise conv_general_dilated (round-1 shipped path)
+#   batch    — same conv but channels as batch dim, C_in=1 (depthwise
+#              convs hit TPU's slow path; batched single-channel convs
+#              can be rewritten to the MXU)
+#   phases   — s^2 phase decomposition: each output phase (y%s, x%s) is
+#              a plain small-window sum over the patch grid (shifted
+#              adds), assembled with interior-dilated lax.pad
+_ALGO = os.environ.get("DIS_TPU_DENSIFY", "phases")
 
 
 def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
@@ -64,7 +76,7 @@ def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
     pad_hi_x = width - 1 + (ps - 1) - pad_lo_x - (dil_w - 1)
     pad_hi_y = height - 1 + (ps - 1) - pad_lo_y - (dil_h - 1)
 
-    def tconv(x, c):
+    def tconv_dilated(x, c):
         # One fused 2-D dilated conv. (A separable two-pass variant was
         # benchmarked end-to-end at 8.49 vs 9.40 fps — the single fused
         # conv wins on TPU despite the extra arithmetic.)
@@ -80,6 +92,76 @@ def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
             feature_group_count=c,
         )
         return out[0].transpose(1, 2, 0)  # [height, width, c]
+
+    def tconv_batch(x, c):
+        # Same dilated conv, but channels ride the BATCH dim with
+        # C_in=1: depthwise (grouped) convs take TPU's slow path while
+        # plain convs are MXU-rewritable.
+        lhs = x.transpose(2, 0, 1)[:, None]  # [c, 1, num_h, num_w]
+        ker = jnp.ones((1, 1, ps, ps), jnp.float32)
+        out = lax.conv_general_dilated(
+            lhs, ker,
+            window_strides=(1, 1),
+            padding=((pad_lo_y, pad_hi_y), (pad_lo_x, pad_hi_x)),
+            lhs_dilation=(s, s),
+            rhs_dilation=(1, 1),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return out[:, 0].transpose(1, 2, 0)
+
+    def tconv_phases(x, c):
+        # Phase decomposition: for output row y = i*s + p the set of
+        # contributing grid rows is i + [lo_p, hi_p] with
+        #   lo_p = ceil((p - pad_lo)/s), hi_p = floor((p - pad_lo + ps-1)/s)
+        # (derived from the dilated-conv support condition
+        #  gy*s in [y - pad_lo, y - pad_lo + ps - 1]); each phase is a
+        # tiny static-window sum over the grid (shifted adds — pure VPU,
+        # no dilated intermediates), assembled with interior-dilated
+        # lax.pad.  Row sums are shared across column phases.
+        # Generous zero-pad so every phase window slices in-bounds even
+        # for stripe-mode grids where pad_lo can reach -(ps + half).
+        P = 4 * ps
+        gh, gw = x.shape[:2]
+        xpad = jnp.pad(x, ((P, P), (P, P), (0, 0)))
+
+        def wnd(p, pad_lo):
+            return (-(-(p - pad_lo) // s), (p - pad_lo + ps - 1) // s)
+
+        n_i = [-(-(height - p) // s) for p in range(s)]
+        n_j = [-(-(width - q) // s) for q in range(s)]
+
+        rowsums = []
+        for p in range(s):
+            lo, hi = wnd(p, pad_lo_y)
+            acc = None
+            for d in range(lo, hi + 1):
+                sl = lax.slice_in_dim(xpad, P + d, P + d + n_i[p], axis=0)
+                acc = sl if acc is None else acc + sl
+            rowsums.append(acc if acc is not None
+                           else jnp.zeros((n_i[p], gw + 2 * P, c), x.dtype))
+
+        out = None
+        for p in range(s):
+            for q in range(s):
+                lo, hi = wnd(q, pad_lo_x)
+                acc = None
+                for e in range(lo, hi + 1):
+                    sl = lax.slice_in_dim(rowsums[p], P + e, P + e + n_j[q],
+                                          axis=1)
+                    acc = sl if acc is None else acc + sl
+                if acc is None:
+                    continue
+                # place phase (p, q): interior-dilate by s-1, offset (p, q),
+                # crop/extend to [height, width]
+                cfgs = [(p, height - p - ((n_i[p] - 1) * s + 1), s - 1),
+                        (q, width - q - ((n_j[q] - 1) * s + 1), s - 1),
+                        (0, 0, 0)]
+                ph = lax.pad(acc, jnp.float32(0), cfgs)
+                out = ph if out is None else out + ph
+        return out
+
+    tconv = {"dilated": tconv_dilated, "batch": tconv_batch,
+             "phases": tconv_phases}[_ALGO]
 
     fsum = tconv(vg, 2)
     wsum = tconv(wg, 1)

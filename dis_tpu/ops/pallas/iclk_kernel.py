@@ -21,6 +21,7 @@ legalize in ``scf.for``.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -30,6 +31,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import DISConfig
+
+# In-kernel resample algorithm (bit-identical outputs; A/B benchmarking):
+#   onehot — separable one-hot contractions (round-1 shipped path):
+#            8 masked full-region reductions for the column stage.
+#   align  — blend-then-align: one column blend pass, then the per-patch
+#            window start (cs, ws in [0, rc-(ps+1)]) is applied with
+#            log2-staged conditional rolls (shifts 1/2/4/8 selected per
+#            lane), after which every output tap is a static slice.
+#            Same multiply/add order per element -> bit-exact.
+_SAMPLER = os.environ.get("DIS_TPU_SAMPLER", "onehot")
+
+# Region-tensor layout handed to the kernel:
+#   4d — [nb, rr, rc, block]: produced by a 4-D XLA transpose of the
+#        extraction output (8.3 ms at 1080p, round-1 PERF_NOTES).
+#   2d — [rr*rc, nb*block] via ONE plain 2-D transpose of [npad, rr*rc],
+#        then free reshapes; same bytes, cheaper XLA relayout.
+_REG_LAYOUT = os.environ.get("DIS_TPU_REG_LAYOUT", "2d")
 
 # meta row indices (f32 meta array [M_ROWS, B])
 M_IAA, M_IAB, M_IBB = 0, 1, 2          # inverse Hessian entries
@@ -47,7 +65,8 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
                  pad_x: int, pad_y: int,
                  lb: float, ub_w: float, ub_h: float, thresh: float,
                  normalize: bool, fixed: bool, conv_eps: float,
-                 tn_ref=None):
+                 tn_ref=None, reg_layout: str = "4d",
+                 sampler: str = "onehot"):
     half = ps // 2
     f32 = jnp.float32
 
@@ -64,7 +83,10 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
 
     tdx = tdx_ref[0, :, :]       # [ps*ps, B]
     tdy = tdy_ref[0, :, :]
-    regions = reg_ref[0, :, :, :]  # [Rr, Rc, B]
+    if reg_layout == "4d":
+        regions = reg_ref[0, :, :, :]  # [Rr, Rc, B]
+    else:
+        regions = reg_ref[:, :, 0, :]  # [Rr, Rc, B] from [rr, rc, nb, B]
 
     B = tdx.shape[-1]
     riota_r = lax.broadcasted_iota(jnp.int32, (rr, B), 0)  # region row idx
@@ -101,6 +123,60 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
         if normalize:
             q = q - jnp.sum(q, axis=0, keepdims=True) * f32(1.0 / (ps * ps))
         return q
+
+    # Conditional-roll bits covering the window-start range [0, R-(ps+1)].
+    def _shift_bits(span):
+        bits = []
+        b = 1
+        while b <= span:
+            bits.append(b)
+            b <<= 1
+        return bits
+
+    def sample_align(posx, posy):
+        """Blend-then-align resample -> [ps*ps, B], bit-identical to
+        :func:`sample` (same per-element multiply/add order).
+
+        One column-blend pass replaces the 8 masked full-region
+        reductions; the per-patch window offsets are then applied with
+        log2-staged conditional shifts (data movement instead of
+        arithmetic), leaving every output tap a static slice.
+        """
+        a = posx - jnp.floor(posx)          # [1, B]
+        b = posy - jnp.floor(posy)
+        nudge = f32(1e-5)
+        cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32) + pad_x
+        cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32) + pad_y
+        ws = jnp.clip(cpy - half - 1 - by, 0, rr - (ps + 1))  # [1, B]
+        cs = jnp.clip(cpx - half - 1 - bx, 0, rc - (ps + 1))
+
+        # Column blend: Rb[r, c] = (1-a) reg[r, c] + a reg[r, c+1]
+        # (the column-rolled tail c = rc-1 is never read: c+cs <= rc-2).
+        Rb = ((1.0 - a)[None] * regions
+              + a[None] * pltpu.roll(regions, rc - 1, 1))
+        # Column align: CA[r, c] = Rb[r, c + cs] for c in [0, ps-1].
+        CA = Rb
+        for bit in _shift_bits(rc - (ps + 1)):
+            take = ((cs & bit) != 0)[None]              # [1, 1, B]
+            CA = jnp.where(take, pltpu.roll(CA, rc - bit, 1), CA)
+        # Row blend: RB[r, c] = (1-b) CA[r, c] + b CA[r+1, c].
+        CA1 = jnp.concatenate([CA[1:], CA[:1]], axis=0)
+        RB = (1.0 - b)[None] * CA + b[None] * CA1
+        # Row align: RA[j, c] = RB[j + ws, c] for j in [0, ps-1].
+        RA = RB
+        for bit in _shift_bits(rr - (ps + 1)):
+            take = ((ws & bit) != 0)[None]
+            RA = jnp.where(take,
+                           jnp.concatenate([RA[bit:], RA[:bit]], axis=0),
+                           RA)
+        # q[j*ps + i, b] = RA[j, i, b]: ps stacked [ps, B] static tiles.
+        q = jnp.concatenate([RA[j, :ps, :] for j in range(ps)], axis=0)
+        if normalize:
+            q = q - jnp.sum(q, axis=0, keepdims=True) * f32(1.0 / (ps * ps))
+        return q
+
+    if sampler == "align":
+        sample = sample_align
 
     def oob_f(px, py):  # [1, B] float mask
         bad = (px < lb) | (py < lb) | (px > ub_w) | (py > ub_h)
@@ -227,7 +303,13 @@ def inverse_search_pallas(
     tdx_b = blk(padn(Tdx).T)
     tdy_b = blk(padn(Tdy).T)
     traw_b = blk(padn(T).T)
-    reg_b = padn(regions).reshape(nb, block, rr, rc).transpose(0, 2, 3, 1)
+    if _REG_LAYOUT == "4d":
+        reg_b = padn(regions).reshape(nb, block, rr, rc).transpose(0, 2, 3, 1)
+    else:
+        # ONE plain 2-D transpose [npad, rr*rc] -> [rr*rc, npad]; the
+        # reshapes on either side are layout-preserving (free).
+        reg_b = (padn(regions).reshape(npad, rr * rc).T
+                 .reshape(rr, rc, nb, block))
 
     fixed = cfg.mode == "fixed"
     tn_b = None
@@ -244,8 +326,15 @@ def inverse_search_pallas(
         lb=-float(ps) / 2.0, ub_w=float(width + ps // 2 - 2),
         ub_h=float(height + ps // 2 - 2), thresh=float(cfg.outlier_thresh),
         normalize=cfg.patch_normalization, fixed=fixed,
-        conv_eps=cfg.conv_eps,
+        conv_eps=cfg.conv_eps, reg_layout=_REG_LAYOUT, sampler=_SAMPLER,
     )
+
+    if _REG_LAYOUT == "4d":
+        reg_spec = pl.BlockSpec((1, rr, rc, block), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        reg_spec = pl.BlockSpec((rr, rc, 1, block), lambda i: (0, 0, i, 0),
+                                memory_space=pltpu.VMEM)
 
     in_specs = [
         pl.BlockSpec((1, M_ROWS, block), lambda i: (i, 0, 0),
@@ -254,8 +343,7 @@ def inverse_search_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rr, rc, block), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        reg_spec,
         pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]

@@ -1,0 +1,57 @@
+"""The three densification algorithms are numerically interchangeable.
+
+``DIS_TPU_DENSIFY`` selects dilated-conv / batched-conv / phase-sum;
+all must agree with the shipped dilated formulation (which is itself
+oracle-validated in test_edge_cases.py) to fp tolerance on every
+geometry: strides 2/4/5, row-ranged stripe grids, weighted and uniform.
+"""
+
+import importlib
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import dis_tpu.ops.densify as densify_mod
+from dis_tpu.ops.grid import make_grid
+
+
+def _run(algo, u, geom, w, h, ps, wts, out_row0=0):
+    old = densify_mod._ALGO
+    densify_mod._ALGO = algo
+    try:
+        return np.asarray(densify_mod.densify(u, geom, w, h, ps, wts,
+                                              out_row0=out_row0))
+    finally:
+        densify_mod._ALGO = old
+
+
+@pytest.mark.parametrize("steps", [2, 4, 5])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_variants_agree(steps, weighted):
+    w, h, ps = 52, 40, 8
+    geom = make_grid(w, h, steps)
+    n = geom.num_w * geom.num_h
+    r = np.random.default_rng(steps * 10 + weighted)
+    u = jnp.asarray(r.standard_normal((n, 2)).astype(np.float32) * 3)
+    wts = jnp.asarray(r.random(n).astype(np.float32) + 0.1) if weighted else None
+
+    ref = _run("dilated", u, geom, w, h, ps, wts)
+    for algo in ("batch", "phases"):
+        got = _run(algo, u, geom, w, h, ps, wts)
+        np.testing.assert_allclose(got, ref, atol=1e-5,
+                                   err_msg=f"{algo} steps={steps}")
+
+
+def test_variants_agree_striped():
+    """Row-ranged grid with an output window (exact-tiling path)."""
+    w, h, ps, steps = 48, 96, 8, 2
+    geom = make_grid(w, h, steps, iy_range=(10, 30))
+    n = geom.num_w * geom.num_h
+    r = np.random.default_rng(7)
+    u = jnp.asarray(r.standard_normal((n, 2)).astype(np.float32))
+    out_row0, out_h = 24, 32
+    ref = _run("dilated", u, geom, w, out_h, ps, None, out_row0)
+    for algo in ("batch", "phases"):
+        got = _run(algo, u, geom, w, out_h, ps, None, out_row0)
+        np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=algo)

@@ -1,4 +1,13 @@
-"""Fused Pallas IC-LK kernel vs XLA region path (interpret mode on CPU)."""
+"""Fused Pallas IC-LK kernel vs XLA region path (interpret mode on CPU).
+
+The strict near-bitwise comparisons pin the ``onehot`` sampler, whose
+arithmetic structure mirrors the XLA one-hot einsum exactly.  The
+``align`` sampler (blend-then-conditional-roll, the fast path) emits a
+different instruction mix, so it is ulp-equivalent rather than
+bit-identical; its test gates the equivalence class instead (final
+``u`` to 1e-3, freeze-timing flips bounded) — the same fp-chaos
+phenomenon PARITY.md documents for CPU-vs-TPU policing decisions.
+"""
 
 import numpy as np
 import pytest
@@ -8,14 +17,56 @@ import jax.numpy as jnp
 from dis_tpu.config import DISConfig
 from dis_tpu.models.dis import dis_flow_padded
 from dis_tpu.ops import iclk
+import dis_tpu.ops.pallas.iclk_kernel as kmod
 from dis_tpu.ops.grid import make_grid
 from dis_tpu.ops.pyramid import construct_pyramid
 
 from conftest import synthetic_pair
 
 
+@pytest.fixture
+def onehot_sampler():
+    old = kmod._SAMPLER
+    kmod._SAMPLER = "onehot"
+    yield
+    kmod._SAMPLER = old
+
+
+def _single_scale_problem(mode, seed=9):
+    i1, i2 = synthetic_pair(40, 48, shift=(2.0, 1.0), seed=seed)
+    cfg = DISConfig(iterations=6, coarsest_scale=0, patch_overlap=0.5,
+                    early_exit=False, mode=mode)
+    pyr1 = construct_pyramid(jnp.asarray(i1), 0, cfg.img_padding)
+    pyr2 = construct_pyramid(jnp.asarray(i2), 0, cfg.img_padding)
+    l1, l2 = pyr1[0], pyr2[0]
+    geom = make_grid(l1.width, l1.height, cfg.steps)
+    centers = jnp.asarray(geom.centers)
+    tpl = iclk.extract_templates(l1.img, l1.dx, l1.dy, centers,
+                                 cfg.patch_size, cfg.img_padding)
+    return cfg, l1, l2, tpl, centers
+
+
+def test_align_sampler_equivalence_class():
+    """align vs onehot: same flow to 1e-3, freeze flips <2% of patches."""
+    for mode in ("compat", "fixed"):
+        cfg, l1, l2, tpl, centers = _single_scale_problem(mode)
+        init_u = jnp.zeros_like(centers)
+        cfg_p = DISConfig(**{**cfg.__dict__, "kernel": "pallas"})
+        out = {}
+        for s in ("onehot", "align"):
+            kmod._SAMPLER = s
+            out[s] = iclk.inverse_search(l2.img, tpl, centers, init_u,
+                                         cfg_p, l1.width, l1.height)
+        kmod._SAMPLER = "align"
+        du = np.abs(np.asarray(out["align"].u) - np.asarray(out["onehot"].u))
+        assert du.max() < 1e-3, (mode, du.max())
+        flips = (np.asarray(out["align"].converged)
+                 != np.asarray(out["onehot"].converged)).mean()
+        assert flips < 0.02, (mode, flips)
+
+
 @pytest.mark.parametrize("mode", ["compat", "fixed"])
-def test_pallas_matches_xla_single_scale(mode):
+def test_pallas_matches_xla_single_scale(mode, onehot_sampler):
     i1, i2 = synthetic_pair(40, 48, shift=(2.0, 1.0), seed=9)
     cfg = DISConfig(iterations=6, coarsest_scale=0, patch_overlap=0.5,
                     early_exit=False, mode=mode)
@@ -42,7 +93,7 @@ def test_pallas_matches_xla_single_scale(mode):
                                   np.asarray(res_x.converged))
 
 
-def test_pallas_e2e_matches_xla():
+def test_pallas_e2e_matches_xla(onehot_sampler):
     i1, i2 = synthetic_pair(32, 40, shift=(1.0, 1.0), seed=4)
     kw = dict(iterations=5, coarsest_scale=2, patch_overlap=0.5,
               early_exit=False)
@@ -51,3 +102,23 @@ def test_pallas_e2e_matches_xla():
     fp = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2),
                                     DISConfig(kernel="pallas", **kw)))
     np.testing.assert_allclose(fp, fx, atol=1e-3)
+
+
+def test_pallas_e2e_align_sampler():
+    """The shipped fast sampler end-to-end: flow equals the XLA path up
+    to isolated policing flips (EPE-class gate)."""
+    i1, i2 = synthetic_pair(32, 40, shift=(1.0, 1.0), seed=4)
+    kw = dict(iterations=5, coarsest_scale=2, patch_overlap=0.5,
+              early_exit=False)
+    fx = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2),
+                                    DISConfig(kernel="xla", **kw)))
+    old = kmod._SAMPLER
+    kmod._SAMPLER = "align"
+    try:
+        fp = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2),
+                                        DISConfig(kernel="pallas", **kw)))
+    finally:
+        kmod._SAMPLER = old
+    d = np.abs(fp - fx)
+    assert d.mean() < 1e-3, d.mean()
+    assert (d > 1e-2).mean() < 0.02, (d > 1e-2).mean()
