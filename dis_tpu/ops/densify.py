@@ -31,7 +31,7 @@ from .grid import GridGeometry
 #   phases   — s^2 phase decomposition: each output phase (y%s, x%s) is
 #              a plain small-window sum over the patch grid (shifted
 #              adds), assembled with interior-dilated lax.pad
-_ALGO = os.environ.get("DIS_TPU_DENSIFY", "phases")
+_ALGO = os.environ.get("DIS_TPU_DENSIFY", "dilated")
 
 
 def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
