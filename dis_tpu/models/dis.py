@@ -76,11 +76,18 @@ def dis_flow_padded(img1: jnp.ndarray, img2: jnp.ndarray,
 
             if flow is None:
                 init_u = jnp.zeros_like(centers)
+                init_bound = 0.0
             else:
                 init_u = init_from_coarser_flow(geom, flow)
+                # NN init is 2x the coarser flow, which policing bounds
+                # (Q9) — unless per-level refinement rewrote it.
+                init_bound = (None if (cfg.refinement_iters > 0
+                                       and cfg.refine_per_level)
+                              else 2.0 * motion_bound(cfg, scale + 1))
 
             res = iclk.inverse_search(
-                l2.img, tpl, centers, init_u, cfg, sw, sh)
+                l2.img, tpl, centers, init_u, cfg, sw, sh,
+                geom=geom, init_bound=init_bound)
 
             wts = _fixed_weights(res, tpl, cfg) if cfg.mode == "fixed" else None
             flow = densify(res.u, geom, sw, sh, cfg.patch_size, wts)
@@ -233,12 +240,15 @@ def dis_flow_stripe(img1_ext: jnp.ndarray, img2_ext: jnp.ndarray,
 
             if flow is None:
                 init_u = jnp.zeros_like(centers)
+                init_bound = 0.0
             else:
                 init_u = init_from_coarser_flow(
                     geom, flow, coarse_row_offset=win_plan[scale + 1][0])
+                init_bound = 2.0 * motion_bound(cfg, scale + 1)
 
             res = iclk.inverse_search(
-                l2.img, tpl, centers, init_u, cfg, sw, gh_s, row0=r0_s)
+                l2.img, tpl, centers, init_u, cfg, sw, gh_s, row0=r0_s,
+                geom=geom, init_bound=init_bound)
 
             wts = _fixed_weights(res, tpl, cfg) if cfg.mode == "fixed" else None
             wlo, whi = win_plan[scale]

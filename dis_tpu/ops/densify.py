@@ -31,7 +31,10 @@ from .grid import GridGeometry
 #   phases   — s^2 phase decomposition: each output phase (y%s, x%s) is
 #              a plain small-window sum over the patch grid (shifted
 #              adds), assembled with interior-dilated lax.pad
-_ALGO = os.environ.get("DIS_TPU_DENSIFY", "dilated")
+# Measured on TPU v5e @1080p (benchmarks/tpu_experiments.py, chained
+# timing): steps=2: dilated 71.3 ms / batch 90.7 / phases 1.0 (70x);
+# steps=5: dilated 4.8 / batch 4.3 / phases 4.3.  phases is the default.
+_ALGO = os.environ.get("DIS_TPU_DENSIFY", "phases")
 
 
 def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,

@@ -295,14 +295,23 @@ class SearchResult(NamedTuple):
     #                         template, not a resample (patch.cpp:132-136)
 
 
+_EXTRACT = _os.environ.get("DIS_TPU_EXTRACT", "auto")
+
+
 def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
                    centers: jnp.ndarray, init_u: jnp.ndarray,
                    cfg: DISConfig, width: int, height: int,
-                   row0: int = 0) -> SearchResult:
+                   row0: int = 0, geom=None,
+                   init_bound=None) -> SearchResult:
     """Run the full IC-LK iteration for every patch at one scale.
 
     Valid-region bounds from optical_flow.cpp:55-57:
     ``tmp_lb = -ps/2``, ``tmp_ub_w = w + ps/2 - 2``, ``tmp_ub_h = h + ps/2 - 2``.
+
+    ``geom``/``init_bound`` (grid geometry and a static bound on
+    ``|init_u|``) enable the column-banded Pallas extraction for frames
+    whose padded image exceeds the VMEM budget (4K+); without them such
+    frames fall back to the XLA extraction.
     """
     ps = cfg.patch_size
     pad = cfg.img_padding
@@ -331,16 +340,27 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
     use_regions = cfg.sampler == "region" or use_pallas
 
     if use_regions:
-        from .pallas.extract_kernel import extract_regions_pallas, vmem_ok
+        from .pallas.extract_kernel import (band_width_ok,
+                                            extract_regions_banded,
+                                            extract_regions_pallas, vmem_ok)
 
         rr, rc = region_shape(ps)
-        # The extraction kernel runs on real TPUs only (interpret mode
-        # is prohibitively slow for CPU tests); its bit-equivalence to
+        # The extraction kernels run on real TPUs only (interpret mode
+        # is prohibitively slow for CPU tests); their bit-equivalence to
         # the XLA path is covered by tests/test_pallas_extract.py.
-        if (use_pallas and rr == rc and vmem_ok(*img2.shape, ps)
-                and jax.default_backend() != "cpu"):
+        on_tpu = use_pallas and rr == rc and jax.default_backend() != "cpu"
+        can_image = _EXTRACT in ("auto", "image") and vmem_ok(*img2.shape, ps)
+        can_banded = (_EXTRACT in ("auto", "banded") and geom is not None
+                      and init_bound is not None
+                      and band_width_ok(ps, init_bound))
+        if on_tpu and can_image and _EXTRACT != "banded":
             regions, base_y, base_x = extract_regions_pallas(
                 img2, pos0, ps, pad, row0=row0)
+        elif on_tpu and can_banded:
+            # Column-banded DMA extraction: any resolution (4K+), VMEM
+            # holds only one grid column's band.
+            regions, base_y, base_x = extract_regions_banded(
+                img2, pos0, ps, pad, geom.num_w, geom.num_h, row0=row0)
         else:
             regions, base_y, base_x = extract_regions(img2, pos0, ps, pad,
                                                       row0=row0)

@@ -45,6 +45,105 @@ def vmem_ok(th: int, tw: int, ps: int, block: int = 256,
     return img_bytes + blk_bytes < budget_bytes
 
 
+def band_width_ok(ps: int, init_bound: float, band_w: int = 384) -> bool:
+    """Whether a column band of ``band_w`` lanes covers every region of
+    a grid column whose coarse-init flow is bounded by ``init_bound``.
+
+    Constraint chain: in-band offsets reach up to 127 (lane-tile
+    alignment of the band origin) + 2*init_bound (x-spread of region
+    bases within one grid column: centers share x, bases differ only by
+    the init flow) + rounding slack; the aligned 256-lane slab read
+    then needs its own origin to satisfy xa + 256 <= band_w, i.e. the
+    offset must stay below band_w - 128.
+    """
+    return 127 + 2 * init_bound + 8 <= band_w - 128
+
+
+def extract_regions_banded(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
+                           pad: int, num_w: int, num_h: int,
+                           row0: int = 0, band_w: int = 384,
+                           interpret: bool = False
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Column-banded region extraction: any resolution, small VMEM.
+
+    The patch array is x-outer (patch_grid.cpp:39-49), so a grid COLUMN
+    (fixed center x, all y) is contiguous; its region bases share a
+    narrow x-range (centers identical, bases differ only by the bounded
+    coarse-init flow).  One grid program per column DMAs the full-height
+    [th, band_w] column band from the HBM-resident image into VMEM
+    scratch, then extracts each patch's region with the aligned-slab +
+    2-D-roll scheme of :func:`extract_regions_pallas`.  VMEM usage is
+    the band (~th * band_w * 4 B) instead of the whole frame, so 4K+
+    frames stay on the Pallas path (round-1 ``vmem_ok`` fallback).
+
+    Caller must have verified :func:`band_width_ok` for the scale's
+    init-flow bound.  Output identical to the XLA ``extract_regions``.
+    """
+    th, tw = img2.shape
+    rc = 2 * ps + 3
+    ra = _cdiv(7 + rc, 8) * 8
+    n = pos0.shape[0]
+    assert n == num_w * num_h, (n, num_w, num_h)
+
+    nudge = jnp.float32(1e-5)
+    cpx0 = jnp.clip(jnp.ceil(pos0[:, 0] + nudge), -1e6, 1e6).astype(jnp.int32) + pad
+    cpy0 = (jnp.clip(jnp.ceil(pos0[:, 1] + nudge), -1e6, 1e6).astype(jnp.int32)
+            + pad - row0)
+    base_y = jnp.clip(cpy0 - ps - 2, 0, th - rc)
+    base_x = jnp.clip(cpx0 - ps - 2, 0, tw - rc)
+
+    # Zero-pad rows so aligned slab reads stay in bounds; pad columns so
+    # every band DMA is in bounds.
+    th_pad = _cdiv(th, 8) * 8 + ra
+    tw_pad = _cdiv(tw, 128) * 128 + band_w
+    imgp = jnp.pad(img2, ((0, th_pad - th), (0, tw_pad - tw)))
+
+    # Per-column band origin: lane-tile-aligned min base_x, clamped so
+    # the band fits the padded image.
+    bx0 = base_x.reshape(num_w, num_h).min(axis=1)
+    bx0 = jnp.clip((bx0 // 128) * 128, 0, tw_pad - band_w)
+
+    def kern(bx0_ref, y_ref, x_ref, img_ref, out_ref, band, sem):
+        col = pl.program_id(0)
+        x0 = pl.multiple_of(bx0_ref[col], 128)
+        dma = pltpu.make_async_copy(
+            img_ref.at[:, pl.ds(x0, band_w)], band, sem)
+        dma.start()
+        dma.wait()
+
+        def body(i, _):
+            yy = y_ref[col * num_h + i]
+            xx = x_ref[col * num_h + i] - x0
+            ya = pl.multiple_of((yy // 8) * 8, 8)
+            xa = pl.multiple_of((xx // 128) * 128, 128)
+            slab = band[pl.ds(ya, ra), pl.ds(xa, 256)]
+            rolled = pltpu.roll(slab, -(xx - xa), 1)
+            rolled = pltpu.roll(rolled, -(yy - ya), 0)
+            out_ref[i, :, :] = rolled[:rc, :rc]
+            return 0
+
+        lax.fori_loop(0, num_h, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_w,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((num_h, rc, rc), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((th_pad, band_w), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    regions = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, rc, rc), jnp.float32),
+        interpret=interpret,
+    )(bx0, base_y, base_x, imgp)
+    return regions, base_y, base_x
+
+
 def extract_regions_pallas(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
                            pad: int, block: int = 256, row0: int = 0,
                            interpret: bool = False

@@ -30,3 +30,38 @@ def test_extraction_kernel_matches_xla(rng):
 def test_vmem_guard():
     assert vmem_ok(1096, 1936, 8)          # 1080p fits
     assert not vmem_ok(2176, 3856, 8)      # 4K does not
+
+
+def test_banded_extraction_matches_xla(rng):
+    """Column-banded DMA kernel (the 4K path) == XLA extraction, with a
+    grid-column-structured patch layout and bounded init flow."""
+    from dis_tpu.ops.pallas.extract_kernel import (band_width_ok,
+                                                   extract_regions_banded)
+
+    ps, pad = 8, 8
+    th, tw = 88, 280
+    img = jnp.asarray((rng.random((th, tw)) * 255).astype(np.float32))
+    # x-outer grid of centers with bounded per-patch init flow
+    num_w, num_h, steps = 12, 16, 4
+    xs = (np.arange(num_w) * steps + 3).astype(np.float32)
+    ys = (np.arange(num_h) * steps + 2).astype(np.float32)
+    cx, cy = np.meshgrid(xs, ys, indexing="ij")
+    centers = np.stack([cx.ravel(), cy.ravel()], -1)
+    bound = 12.0
+    init = (rng.random(centers.shape) * 2 - 1) * bound
+    pos0 = jnp.asarray((centers + init).astype(np.float32))
+    assert band_width_ok(ps, bound)
+
+    want, by_w, bx_w = iclk.extract_regions(img, pos0, ps, pad)
+    got, by, bx = extract_regions_banded(img, pos0, ps, pad, num_w, num_h,
+                                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(by), np.asarray(by_w))
+    np.testing.assert_array_equal(np.asarray(bx), np.asarray(bx_w))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_band_width_guard():
+    from dis_tpu.ops.pallas.extract_kernel import band_width_ok
+
+    assert band_width_ok(8, 60.0)        # default DIS chain bound
+    assert not band_width_ok(8, 130.0)   # too wide for the 384 band
