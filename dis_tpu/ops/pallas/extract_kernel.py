@@ -117,9 +117,11 @@ def extract_regions_banded(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
             ya = pl.multiple_of((yy // 8) * 8, 8)
             xa = pl.multiple_of((xx // 128) * 128, 128)
             slab = band[pl.ds(ya, ra), pl.ds(xa, 256)]
-            rolled = pltpu.roll(slab, -(xx - xa), 1)
+            # x-roll on the full slab, then shrink to one lane tile so
+            # the y-roll moves 8x less data.
+            rolled = pltpu.roll(slab, -(xx - xa), 1)[:, :rc]
             rolled = pltpu.roll(rolled, -(yy - ya), 0)
-            out_ref[i, :, :] = rolled[:rc, :rc]
+            out_ref[i, :, :] = rolled[:rc, :]
             return 0
 
         lax.fori_loop(0, num_h, body, 0)
@@ -182,9 +184,11 @@ def extract_regions_pallas(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
             ya = pl.multiple_of((yy // 8) * 8, 8)
             xa = pl.multiple_of((xx // 128) * 128, 128)
             slab = img_ref[pl.ds(ya, ra), pl.ds(xa, 256)]
-            rolled = pltpu.roll(slab, -(xx - xa), 1)
+            # x-roll on the full slab, then shrink to one lane tile so
+            # the y-roll moves 8x less data.
+            rolled = pltpu.roll(slab, -(xx - xa), 1)[:, :rc]
             rolled = pltpu.roll(rolled, -(yy - ya), 0)
-            out_ref[b, :, :] = rolled[:rc, :rc]
+            out_ref[b, :, :] = rolled[:rc, :]
             return 0
 
         lax.fori_loop(0, block, body, 0)

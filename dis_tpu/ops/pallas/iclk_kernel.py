@@ -39,15 +39,19 @@ from ...config import DISConfig
 #            window start (cs, ws in [0, rc-(ps+1)]) is applied with
 #            log2-staged conditional rolls (shifts 1/2/4/8 selected per
 #            lane), after which every output tap is a static slice.
-#            Same multiply/add order per element -> bit-exact.
-_SAMPLER = os.environ.get("DIS_TPU_SAMPLER", "onehot")
+#            Same multiply/add order per element; ulp-equivalent (XLA
+#            fuses the two structures differently).  Measured on v5e
+#            @1080p finest scale: search 33.6 ms -> 20.5 ms.
+_SAMPLER = os.environ.get("DIS_TPU_SAMPLER", "align")
 
-# Region-tensor layout handed to the kernel:
-#   4d — [nb, rr, rc, block]: produced by a 4-D XLA transpose of the
-#        extraction output (8.3 ms at 1080p, round-1 PERF_NOTES).
-#   2d — [rr*rc, nb*block] via ONE plain 2-D transpose of [npad, rr*rc],
-#        then free reshapes; same bytes, cheaper XLA relayout.
-_REG_LAYOUT = os.environ.get("DIS_TPU_REG_LAYOUT", "2d")
+# Region-tensor relayout route to the kernel layout [nb, rr, rc, block]:
+#   4d — one 4-D XLA transpose of the extraction output (minor dims
+#        19x19: slow relayout, 8.3 ms at 1080p per round-1 PERF_NOTES).
+#   2d — a plain 2-D transpose [npad, 361] -> [361, npad] followed by a
+#        major-dim swap (contiguous 2 KB runs); same final array.
+# Measured on v5e: 2d is ~1 ms SLOWER end-to-end (XLA evidently merges
+# the pair back into a relayout plus an extra copy); 4d stays default.
+_REG_LAYOUT = os.environ.get("DIS_TPU_REG_LAYOUT", "4d")
 
 # meta row indices (f32 meta array [M_ROWS, B])
 M_IAA, M_IAB, M_IBB = 0, 1, 2          # inverse Hessian entries
@@ -65,8 +69,7 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
                  pad_x: int, pad_y: int,
                  lb: float, ub_w: float, ub_h: float, thresh: float,
                  normalize: bool, fixed: bool, conv_eps: float,
-                 tn_ref=None, reg_layout: str = "4d",
-                 sampler: str = "onehot"):
+                 tn_ref=None, sampler: str = "onehot"):
     half = ps // 2
     f32 = jnp.float32
 
@@ -83,10 +86,7 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
 
     tdx = tdx_ref[0, :, :]       # [ps*ps, B]
     tdy = tdy_ref[0, :, :]
-    if reg_layout == "4d":
-        regions = reg_ref[0, :, :, :]  # [Rr, Rc, B]
-    else:
-        regions = reg_ref[:, :, 0, :]  # [Rr, Rc, B] from [rr, rc, nb, B]
+    regions = reg_ref[0, :, :, :]  # [Rr, Rc, B]
 
     B = tdx.shape[-1]
     riota_r = lax.broadcasted_iota(jnp.int32, (rr, B), 0)  # region row idx
@@ -306,10 +306,11 @@ def inverse_search_pallas(
     if _REG_LAYOUT == "4d":
         reg_b = padn(regions).reshape(nb, block, rr, rc).transpose(0, 2, 3, 1)
     else:
-        # ONE plain 2-D transpose [npad, rr*rc] -> [rr*rc, npad]; the
-        # reshapes on either side are layout-preserving (free).
+        # Plain 2-D transpose, then a major-dim swap whose minor dim
+        # (block lanes) stays contiguous; reshapes are free.
         reg_b = (padn(regions).reshape(npad, rr * rc).T
-                 .reshape(rr, rc, nb, block))
+                 .reshape(rr * rc, nb, block).transpose(1, 0, 2)
+                 .reshape(nb, rr, rc, block))
 
     fixed = cfg.mode == "fixed"
     tn_b = None
@@ -326,15 +327,8 @@ def inverse_search_pallas(
         lb=-float(ps) / 2.0, ub_w=float(width + ps // 2 - 2),
         ub_h=float(height + ps // 2 - 2), thresh=float(cfg.outlier_thresh),
         normalize=cfg.patch_normalization, fixed=fixed,
-        conv_eps=cfg.conv_eps, reg_layout=_REG_LAYOUT, sampler=_SAMPLER,
+        conv_eps=cfg.conv_eps, sampler=_SAMPLER,
     )
-
-    if _REG_LAYOUT == "4d":
-        reg_spec = pl.BlockSpec((1, rr, rc, block), lambda i: (i, 0, 0, 0),
-                                memory_space=pltpu.VMEM)
-    else:
-        reg_spec = pl.BlockSpec((rr, rc, 1, block), lambda i: (0, 0, i, 0),
-                                memory_space=pltpu.VMEM)
 
     in_specs = [
         pl.BlockSpec((1, M_ROWS, block), lambda i: (i, 0, 0),
@@ -343,7 +337,8 @@ def inverse_search_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        reg_spec,
+        pl.BlockSpec((1, rr, rc, block), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
