@@ -13,6 +13,7 @@ on a pod slice they run over the real mesh.
   #5 sequence sharded along time + scaling efficiency
 """
 
+import argparse
 import json
 import os
 import sys
@@ -45,6 +46,11 @@ def synth(h, w, seed=0):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="also append the JSON records to this file")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -55,9 +61,12 @@ def main():
 
     platform = jax.default_backend()
     ndev = jax.device_count()
+    records = []
 
     def emit(**kw):
-        print(json.dumps({"platform": platform, **kw}), flush=True)
+        rec = {"platform": platform, **kw}
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
 
     # 1: single Middlebury/Sintel-like pair, DIS-fast, no refinement
     cfg1 = DISConfig(iterations=16, coarsest_scale=3, patch_overlap=0.3,
@@ -114,6 +123,10 @@ def main():
         emit(config=5, desc="sequence/batch scaling", **rep)
     else:
         emit(config=5, desc="scaling", skipped="needs >=2 devices")
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(records, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -349,7 +349,13 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
         # is prohibitively slow for CPU tests); their bit-equivalence to
         # the XLA path is covered by tests/test_pallas_extract.py.
         on_tpu = use_pallas and rr == rc and jax.default_backend() != "cpu"
-        can_image = _EXTRACT in ("auto", "image") and vmem_ok(*img2.shape, ps)
+        # The whole-image kernel prefetches 2 scalars/patch into SMEM;
+        # the budget tops out between 112k (works) and 200k (compile
+        # failure) patches — larger grids go banded (per-column SMEM
+        # blocks, no global prefetch).
+        can_image = (_EXTRACT in ("auto", "image")
+                     and vmem_ok(*img2.shape, ps)
+                     and pos0.shape[0] <= 131072)
         can_banded = (_EXTRACT in ("auto", "banded") and geom is not None
                       and init_bound is not None
                       and band_width_ok(ps, init_bound))
