@@ -86,28 +86,38 @@ def tpu_fps(i1, i2):
                     finest_scale=FINEST, patch_overlap=OVERLAP,
                     patch_normalization=bool(NORM), mode="compat",
                     early_exit=False)
-    # Time with a device-side scalar reduction fetched to host: on the
-    # tunneled axon platform ``block_until_ready`` returns immediately
-    # and fetching the full 16 MB flow would time the tunnel, not the
-    # chip.  The sum depends on every output pixel, so the full
-    # computation is on the timed path; the 4-byte fetch adds one RTT
-    # (~30 ms, measured) which we subtract via a no-op calibration.
-    fn = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg).sum())
+    # Time with CHAINED repetitions inside one jit, fetched as one
+    # scalar: on the tunneled axon platform ``block_until_ready``
+    # returns immediately, host fetches time the tunnel, and the
+    # ~30 ms/dispatch RTT swamps per-dispatch correction (round-1's
+    # subtraction method under-reported by ~25%).  The carry perturbs
+    # the input by ~1e-30 per step so XLA cannot CSE the iterations;
+    # every output pixel stays on the timed path via the sum.
+    from jax import lax
+
+    CHAIN = 8
+
+    def chained(a, b):
+        def body(i, c):
+            return c + dis_flow_padded(
+                a + c * jnp.float32(1e-30), b, cfg).sum() * jnp.float32(1e-30)
+        return lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
+
+    fn = jax.jit(chained)
     rtt_fn = jax.jit(lambda a: a[0, 0] * 0 + 1)
     a = jnp.asarray(i1)
     b = jnp.asarray(i2)
     float(fn(a, b))  # compile + warmup
     float(rtt_fn(a))
+    rtt = min(_timeit(lambda: float(rtt_fn(a))) for _ in range(5))
+    dt = min(_timeit(lambda: float(fn(a, b))) for _ in range(3))
+    return CHAIN / max(dt - rtt, 1e-9)
+
+
+def _timeit(f):
     t0 = time.perf_counter()
-    for _ in range(3):
-        float(rtt_fn(a))
-    rtt = (time.perf_counter() - t0) / 3
-    reps = 4
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        float(fn(a, b))
-    dt = (time.perf_counter() - t0) / reps - rtt
-    return 1.0 / dt
+    f()
+    return time.perf_counter() - t0
 
 
 def main():
