@@ -143,25 +143,35 @@ def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
             rowsums.append(acc if acc is not None
                            else jnp.zeros((n_i[p], gw + 2 * P, c), x.dtype))
 
-        out = None
+        # Interleave the s^2 phases with ONE stack + reshape instead of
+        # s^2 interior-dilated pad passes (the pad assembly costs
+        # ~4.3 ms at stride 5 vs a ~0.12 ms floor): pad every phase to a
+        # common [n_max_i, n_max_j], stack as [n_i, s, n_j, s, c]
+        # (y = i*s + p, x = j*s + q in row-major order), reshape, crop.
+        ni_max = max(n_i)
+        nj_max = max(n_j)
+        cols = []
         for p in range(s):
+            lo, hi = wnd(p, pad_lo_y)
+            rs = rowsums[p]
+            row_phases = []
             for q in range(s):
                 lo, hi = wnd(q, pad_lo_x)
                 acc = None
                 for e in range(lo, hi + 1):
-                    sl = lax.slice_in_dim(rowsums[p], P + e, P + e + n_j[q],
-                                          axis=1)
+                    sl = lax.slice_in_dim(rs, P + e, P + e + nj_max, axis=1)
                     acc = sl if acc is None else acc + sl
                 if acc is None:
-                    continue
-                # place phase (p, q): interior-dilate by s-1, offset (p, q),
-                # crop/extend to [height, width]
-                cfgs = [(p, height - p - ((n_i[p] - 1) * s + 1), s - 1),
-                        (q, width - q - ((n_j[q] - 1) * s + 1), s - 1),
-                        (0, 0, 0)]
-                ph = lax.pad(acc, jnp.float32(0), cfgs)
-                out = ph if out is None else out + ph
-        return out
+                    acc = jnp.zeros((rs.shape[0], nj_max, c), x.dtype)
+                row_phases.append(acc)
+            ph = jnp.stack(row_phases, axis=2)        # [n_i[p], nj_max, s, c]
+            if rs.shape[0] < ni_max:
+                ph = jnp.pad(ph, ((0, ni_max - rs.shape[0]), (0, 0), (0, 0),
+                                  (0, 0)))
+            cols.append(ph)
+        full = jnp.stack(cols, axis=1)                # [ni_max, s, nj_max, s, c]
+        full = full.reshape(ni_max * s, nj_max * s, c)
+        return full[:height, :width]
 
     tconv = {"dilated": tconv_dilated, "batch": tconv_batch,
              "phases": tconv_phases}[_ALGO]

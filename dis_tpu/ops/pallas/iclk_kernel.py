@@ -175,8 +175,79 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
             q = q - jnp.sum(q, axis=0, keepdims=True) * f32(1.0 / (ps * ps))
         return q
 
+    def _bits_desc(span):
+        return list(reversed(_shift_bits(span)))
+
+    def sample_align2(posx, posy):
+        """Narrowing blend-then-align resample -> [ps*ps, B]; same written
+        arithmetic as :func:`sample_align` (ulp-equivalent: narrowed
+        operand widths shift compiler fma/fusion choices).
+
+        Same structure as ``align`` but the conditional shift stages run
+        in DESCENDING bit order with progressive width narrowing: after
+        applying bit ``k`` the maximum remaining shift shrinks, so the
+        columns/rows beyond ``ps + rem`` can never be read again and are
+        sliced off before the next stage.  Columns narrow to the next
+        sublane-tile multiple (19 -> 16 -> 8); rows (major dim) narrow to
+        the exact need.  This removes ~1/3 of the per-iteration VPU
+        passes vs ``align`` (the row stages run at width ps instead of
+        rc, and late column rolls at 16 instead of 24 effective).
+        """
+        a = posx - jnp.floor(posx)          # [1, B]
+        b = posy - jnp.floor(posy)
+        nudge = f32(1e-5)
+        cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32) + pad_x
+        cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32) + pad_y
+        ws = jnp.clip(cpy - half - 1 - by, 0, rr - (ps + 1))  # [1, B]
+        cs = jnp.clip(cpx - half - 1 - bx, 0, rc - (ps + 1))
+
+        # Column blend: Rb[r, c] = (1-a) reg[r, c] + a reg[r, c+1]
+        Rb = ((1.0 - a)[None] * regions
+              + a[None] * pltpu.roll(regions, rc - 1, 1))
+        # Column align with narrowing (sublane dim: widths stay
+        # tile-multiples so slices are free tile drops).
+        CA = Rb
+        w = rc
+        rem = rc - (ps + 1)
+        for bit in _bits_desc(rc - (ps + 1)):
+            take = ((cs & bit) != 0)[None]              # [1, 1, B]
+            CA = jnp.where(take, pltpu.roll(CA, w - bit, 1), CA)
+            # taken lanes: rem-bit left; untaken: cs had bit clear so
+            # cs mod (2*bit) <= bit-1 given higher bits already applied.
+            rem = max(rem - bit, min(rem, bit - 1))
+            w_new = min(w, -(-(ps + rem) // 8) * 8)
+            if w_new < w:
+                CA = CA[:, :w_new, :]
+                w = w_new
+        CA = CA[:, :ps, :]                              # rem == 0
+        # Row blend: RB[r, c] = (1-b) CA[r, c] + b CA[r+1, c].
+        CA1 = jnp.concatenate([CA[1:], CA[:1]], axis=0)
+        RA = (1.0 - b)[None] * CA + b[None] * CA1
+        h = rr
+        rem = rr - (ps + 1)
+        for bit in _bits_desc(rr - (ps + 1)):
+            take = ((ws & bit) != 0)[None]
+            rem = max(rem - bit, min(rem, bit - 1))
+            need = ps + rem
+            src = RA[bit:]
+            if h - bit < need:
+                # wrap-fill rows are only materialized, never selected:
+                # taken lanes read < (rem_taken + ps) <= h - bit rows.
+                src = jnp.concatenate([src, RA[:need - (h - bit)]], axis=0)
+            else:
+                src = src[:need]
+            RA = jnp.where(take, src, RA[:need])
+            h = need
+        # q[j*ps + i, b] = RA[j, i, b]: ps stacked [ps, B] static tiles.
+        q = jnp.concatenate([RA[j, :, :] for j in range(ps)], axis=0)
+        if normalize:
+            q = q - jnp.sum(q, axis=0, keepdims=True) * f32(1.0 / (ps * ps))
+        return q
+
     if sampler == "align":
         sample = sample_align
+    elif sampler == "align2":
+        sample = sample_align2
 
     def oob_f(px, py):  # [1, B] float mask
         bad = (px < lb) | (py < lb) | (px > ub_w) | (py > ub_h)

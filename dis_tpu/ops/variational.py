@@ -47,6 +47,17 @@ def _warp_bilinear(planes: jnp.ndarray, flow: jnp.ndarray) -> Tuple[jnp.ndarray,
     (the refinement needs 6 warped planes per outer iteration; sharing
     the gather indices is ~6x cheaper than per-plane warps).
     Returns (warped [H, W, C], in_bounds [H, W]).
+
+    Formulation note (measured on v5e, Sintel size, inside the outer
+    scan): four C-wide takes is the FASTEST known XLA gather shape for
+    this warp — 6.2 ms/warp vs 12.9 ms for one corner-packed [H*W, 4C]
+    take, 11.6 ms for two half-packed [2*H*W, 2C] takes, and 25.6 ms
+    for per-channel 1-D takes.  (An isolated packed-take microbenchmark
+    shows 2.4 ms, but only because closure-constant flow lets XLA
+    constant-fold the indices — do not trust it.)  The refinement is
+    warp-bound: 50 red-black sweeps cost ~3 ms total while each outer
+    warp costs ~6 ms, which is why the presets favor few outers with
+    many inner sweeps.
     """
     h, w, c = planes.shape
     ys, xs = jnp.mgrid[0:h, 0:w]
@@ -171,8 +182,9 @@ def variational_refinement(img1_padded: jnp.ndarray, img2_padded: jnp.ndarray,
                 dv = jnp.where(mask > 0, dv_new, dv)
                 return du, dv
 
-            du, dv = half_sweep(du, dv, red)
-            du, dv = half_sweep(du, dv, black)
+            for _ in range(cfg.refinement_sor_sweeps):
+                du, dv = half_sweep(du, dv, red)
+                du, dv = half_sweep(du, dv, black)
             return (du, dv), None
 
         (du, dv), _ = lax.scan(inner, (jnp.zeros_like(u0), jnp.zeros_like(v0)),

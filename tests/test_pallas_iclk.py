@@ -65,6 +65,35 @@ def test_align_sampler_equivalence_class():
         assert flips < 0.02, (mode, flips)
 
 
+def test_align2_bitwise_equals_align():
+    """align2 (narrowing schedule) only reorders data movement; the
+    written arithmetic (blends, dots) is identical to align, but the
+    narrowed operand widths change the compiler's fma/fusion choices, so
+    the gate is ulp-class (1e-5, ~30x tighter than the align-vs-onehot
+    gate) with zero freeze flips allowed at this size."""
+    for mode in ("compat", "fixed"):
+        cfg, l1, l2, tpl, centers = _single_scale_problem(mode, seed=11)
+        init_u = jnp.asarray(
+            np.random.default_rng(5).uniform(
+                -2, 2, centers.shape).astype(np.float32))
+        cfg_p = DISConfig(**{**cfg.__dict__, "kernel": "pallas"})
+        out = {}
+        old = kmod._SAMPLER
+        try:
+            for s in ("align", "align2"):
+                kmod._SAMPLER = s
+                out[s] = iclk.inverse_search(l2.img, tpl, centers, init_u,
+                                             cfg_p, l1.width, l1.height)
+        finally:
+            kmod._SAMPLER = old
+        np.testing.assert_allclose(np.asarray(out["align2"].u),
+                                   np.asarray(out["align"].u), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["align2"].Q),
+                                   np.asarray(out["align"].Q), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out["align2"].converged),
+                                      np.asarray(out["align"].converged))
+
+
 @pytest.mark.parametrize("mode", ["compat", "fixed"])
 def test_pallas_matches_xla_single_scale(mode, onehot_sampler):
     i1, i2 = synthetic_pair(40, 48, shift=(2.0, 1.0), seed=9)

@@ -136,3 +136,30 @@ def test_per_level_refinement_improves_subpixel_epe():
     e0 = epe(no_ref, gt)
     e2 = epe(per_level, gt)
     assert e2 < e0, (e0, e2)
+
+
+def test_sor_blocking_energy_equivalent():
+    """refinement_sor_sweeps > 1 (frozen-weight relaxation blocks) is a
+    speed knob: at equal TOTAL sweep count it must descend the true
+    energy to within a few percent of the per-sweep-weights schedule."""
+    h, w = 32, 40
+    i1, i2 = synthetic_pair(h, w, shift=(1.0, 0.5), seed=33)
+    p = 8
+    i1p = jnp.asarray(_padded(i1, p))
+    i2p = jnp.asarray(_padded(i2, p))
+    flow0 = np.zeros((h, w, 2), np.float32)
+    flow0[..., 0] = 1.0 + _smooth_noise(h, w, 3)
+    flow0[..., 1] = 0.5 + _smooth_noise(h, w, 4)
+
+    cfg1 = DISConfig(refinement_iters=3, refinement_inner_sweeps=20,
+                     refinement_sor_sweeps=1, mode="fixed")
+    cfg4 = DISConfig(refinement_iters=3, refinement_inner_sweeps=5,
+                     refinement_sor_sweeps=4, mode="fixed")
+    e0 = vo.energy(i1, i2, flow0, cfg1)
+    es = []
+    for cfg in (cfg1, cfg4):
+        out = np.asarray(variational_refinement(
+            i1p, i2p, jnp.asarray(flow0), cfg))
+        es.append(vo.energy(i1, i2, out, cfg))
+    assert es[0] < 0.8 * e0 and es[1] < 0.8 * e0, (e0, es)
+    assert abs(es[1] - es[0]) < 0.03 * es[0], (e0, es)
