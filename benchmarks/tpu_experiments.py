@@ -233,15 +233,65 @@ def bench_search():
     cfg, l2, tpl, centers, init_u, geom = _scale0_problem()
     sw, sh = geom.num_w * 0 + l2.width, l2.height
 
-    for sampler in ("onehot", "align"):
-        for layout in ("4d", "2d"):
-            kmod._SAMPLER = sampler
-            kmod._REG_LAYOUT = layout
+    for sampler in ("align", "align2"):
+        kmod._SAMPLER = sampler
+        kmod._REG_LAYOUT = "4d"
+        fn = jax.jit(lambda iu: iclk.inverse_search(
+            l2.img, tpl, centers, iu, cfg, sw, sh).u.sum())
+        dt = timed(fn, init_u)
+        emit(stage="search", sampler=sampler, layout="4d",
+             ms=round(dt * 1e3, 3))
+
+
+def bench_block():
+    """Kernel block-size sweep (round-1: 1024 blew the 16 MB scoped VMEM
+    with the onehot sampler; align2's narrowing shrinks live intermediates,
+    so retry)."""
+    import os
+
+    import jax
+
+    import dis_tpu.ops.pallas.iclk_kernel as kmod
+    from dis_tpu.ops import iclk
+
+    cfg, l2, tpl, centers, init_u, geom = _scale0_problem()
+    sw, sh = l2.width, l2.height
+
+    kmod._SAMPLER = "align2"
+    kmod._REG_LAYOUT = "4d"
+    for block in (512, 1024):
+        os.environ["DIS_TPU_BLOCK"] = str(block)
+        try:
             fn = jax.jit(lambda iu: iclk.inverse_search(
                 l2.img, tpl, centers, iu, cfg, sw, sh).u.sum())
             dt = timed(fn, init_u)
-            emit(stage="search", sampler=sampler, layout=layout,
-                 ms=round(dt * 1e3, 3))
+            emit(stage="block", block=block, ms=round(dt * 1e3, 3))
+        except Exception as e:  # compile/VMEM failures are data too
+            emit(stage="block", block=block, error=str(e)[:200])
+    os.environ["DIS_TPU_BLOCK"] = "512"
+
+
+def bench_scales():
+    """Where do the non-finest scales cost go?  Frame time with the
+    pyramid truncated: full (3..0), finest-only (0..0), and stopped at
+    scale 1 (3..1).  Work per scale is a fixed trip count, so the
+    differences isolate per-scale cost including launch overheads."""
+    import jax
+    import jax.numpy as jnp
+
+    from dis_tpu.config import DISConfig
+    from dis_tpu.models.dis import dis_flow_padded
+
+    i1 = jnp.asarray(synth(PADH, W, 1))
+    i2 = jnp.asarray(synth(PADH, W, 2))
+    for coarsest, finest in ((3, 0), (0, 0), (3, 1)):
+        cfg = DISConfig(iterations=16, patch_size=8, coarsest_scale=coarsest,
+                        finest_scale=finest, patch_overlap=0.3, mode="compat",
+                        early_exit=False)
+        fn = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg).sum())
+        dt = timed(fn, i1, i2)
+        emit(stage="scales", coarsest=coarsest, finest=finest,
+             ms=round(dt * 1e3, 2))
 
 
 def bench_frame():
@@ -260,8 +310,9 @@ def bench_frame():
     i2 = jnp.asarray(synth(PADH, W, 2))
 
     combos = [
-        ("dilated", "onehot", "4d"),   # round-1 shipped
-        ("phases", "align", "2d"),     # round-2 candidates
+        ("phases", "align", "2d"),     # round-2 shipped
+        ("phases", "align2", "2d"),    # narrowing-schedule candidates
+        ("phases", "align2", "4d"),
     ]
     for dalgo, sampler, layout in combos:
         dmod._ALGO = dalgo
@@ -316,6 +367,7 @@ def bench_frame4k():
 
 
 STAGES = {"densify": bench_densify, "pyramid": bench_pyramid,
+          "block": bench_block, "scales": bench_scales,
           "pyramid_micro": bench_pyramid_micro,
           "extract": bench_extract, "search": bench_search,
           "frame": bench_frame, "banded": bench_banded,
