@@ -224,6 +224,63 @@ def bench_extract():
          ms=round(timed(t2, regs) * 1e3, 3))
 
 
+def bench_relayout():
+    """Region relayout candidates (ROOFLINE 'next lever' #4).
+
+    The [npad, 19, 19] -> [nb, 19, 19, block] lane relayout between the
+    extraction and search kernels costs ~3 ms at 1080p as a 4-D XLA
+    transpose.  Candidates: contract the patch dim against a block-size
+    fp32 identity on the MXU (bit-exact: every output element is one
+    nonzero product plus zeros), from (a) the current tile-padded
+    [npad, 19, 19] extraction layout and (b) a dense [npad, 361] layout
+    (what the extraction kernel would write if we flatten the region
+    into lanes — also shrinks the HBM write ~8x)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from dis_tpu.ops import iclk
+
+    cfg, l2, tpl, centers, init_u, geom = _scale0_problem()
+    n = centers.shape[0]
+    rr, rc = iclk.region_shape(cfg.patch_size)
+    block = 512
+    nb = -(-n // block)
+    npad = nb * block
+    rng = np.random.default_rng(5)
+    regs3 = jnp.asarray(rng.random((npad, rr, rc)).astype(np.float32))
+    regs2 = jnp.asarray(rng.random((npad, rr * rc)).astype(np.float32))
+    eye = jnp.eye(block, dtype=jnp.float32)
+
+    def mxu_from3(x):
+        lhs = x.reshape(nb, block, rr * rc)
+        out = lax.dot_general(lhs, eye, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        # [nb, rr*rc, block] -> [nb, rr, rc, block]
+        return out.reshape(nb, rr, rc, block).sum()
+
+    def mxu_from2(x):
+        lhs = x.reshape(nb, block, rr * rc)
+        out = lax.dot_general(lhs, eye, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        return out.reshape(nb, rr, rc, block).sum()
+
+    t4 = jax.jit(lambda x: x.reshape(nb, block, rr, rc)
+                 .transpose(0, 2, 3, 1).sum())
+    emit(stage="relayout", algo="transpose_4d",
+         ms=round(timed(t4, regs3) * 1e3, 3))
+    emit(stage="relayout", algo="mxu_eye_from_3d",
+         ms=round(timed(jax.jit(mxu_from3), regs3) * 1e3, 3))
+    emit(stage="relayout", algo="mxu_eye_from_dense2d",
+         ms=round(timed(jax.jit(mxu_from2), regs2) * 1e3, 3))
+    # dense-2d XLA transpose for comparison (what a flat extraction
+    # write would give the old route)
+    td = jax.jit(lambda x: x.reshape(nb, block, rr * rc)
+                 .transpose(0, 2, 1).reshape(nb, rr, rc, block).sum())
+    emit(stage="relayout", algo="transpose_from_dense2d",
+         ms=round(timed(td, regs2) * 1e3, 3))
+
+
 def bench_search():
     import jax
 
@@ -269,6 +326,99 @@ def bench_block():
         except Exception as e:  # compile/VMEM failures are data too
             emit(stage="block", block=block, error=str(e)[:200])
     os.environ["DIS_TPU_BLOCK"] = "512"
+
+
+def bench_frame_pyr():
+    """Controlled pyramid-path A/B: same frame jit with only the
+    pyramid implementation toggled, measured ALTERNATING in one session
+    (run-to-run variance over the tunnel is ~1 ms, larger than the
+    expected delta)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from dis_tpu.config import DISConfig
+    from dis_tpu.models.dis import dis_flow_padded
+
+    cfg = DISConfig(iterations=16, patch_size=8, coarsest_scale=3,
+                    finest_scale=0, patch_overlap=0.3, mode="compat",
+                    early_exit=False)
+    i1 = jnp.asarray(synth(PADH, W, 1))
+    i2 = jnp.asarray(synth(PADH, W, 2))
+    fns = {}
+    for mode in ("xla", "pallas"):
+        os.environ["DIS_TPU_PYRAMID"] = mode
+        fns[mode] = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg).sum())
+        # compile now, while the env var is set
+        dt = timed(fns[mode], i1, i2, chain=2, reps=1)
+    best = {m: float("inf") for m in fns}
+    for _ in range(4):
+        for m, fn in fns.items():
+            # timed() re-traces its chain wrapper (inlining the jit), so
+            # the env var must be set for every measurement, not just
+            # the first compile.
+            os.environ["DIS_TPU_PYRAMID"] = m
+            best[m] = min(best[m], timed(fn, i1, i2, chain=4, reps=1))
+    os.environ["DIS_TPU_PYRAMID"] = "auto"
+    for m, dt in best.items():
+        emit(stage="frame_pyr", pyramid=m, fps=round(1.0 / dt, 3),
+             ms=round(dt * 1e3, 2))
+
+
+def bench_batch():
+    """Single-chip batched throughput: vmap over frame pairs.
+
+    Coarse scales run at ~2.6x worse per-patch efficiency than the
+    finest (per-scale fixed costs; see ROOFLINE.md) — batching widens
+    the small grids, so pairs/sec should beat 1/latency.  Uses
+    parallel.batch.batched_flow_fn, the same vmapped pipeline that
+    config #3 shards across devices."""
+    import jax
+    import jax.numpy as jnp
+
+    from dis_tpu.config import DISConfig
+    from dis_tpu.parallel.batch import batched_flow_fn
+
+    cfg = DISConfig(iterations=16, patch_size=8, coarsest_scale=3,
+                    finest_scale=0, patch_overlap=0.3, mode="compat",
+                    early_exit=False)
+    for bsz in (1, 2, 4):
+        i1 = jnp.stack([jnp.asarray(synth(PADH, W, 2 * i + 1))
+                        for i in range(bsz)])
+        i2 = jnp.stack([jnp.asarray(synth(PADH, W, 2 * i + 2))
+                        for i in range(bsz)])
+        vf = batched_flow_fn(cfg)
+        fn = jax.jit(lambda a, b: vf(a, b).sum())
+        try:
+            dt = timed(fn, i1, i2, chain=4)
+            emit(stage="batch", batch=bsz,
+                 pairs_per_sec=round(bsz / dt, 3),
+                 ms_per_pair=round(dt / bsz * 1e3, 2))
+        except Exception as e:
+            emit(stage="batch", batch=bsz, error=str(e)[:200])
+
+
+def bench_refdef():
+    """Reference's own defaults (1000 iterations, stride 2, Sintel size,
+    compat semantics) on the in-kernel while_loop early-exit path.
+    Long Mosaic compile (~10 min); run in its own batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from dis_tpu.config import DISConfig
+    from dis_tpu.models.dis import dis_flow_padded
+
+    cfg = DISConfig(iterations=1000, patch_size=8, coarsest_scale=3,
+                    finest_scale=0, patch_overlap=0.7, mode="compat",
+                    early_exit=True)
+    h, w = 440, 1024  # Sintel 1024x436 padded to /8
+    i1 = jnp.asarray(synth(h, w, 1))
+    i2 = jnp.asarray(synth(h, w, 2))
+    fn = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg).sum())
+    dt = timed(fn, i1, i2, chain=2)
+    emit(stage="refdef", s_per_frame=round(dt, 3),
+         fps=round(1.0 / dt, 3))
 
 
 def bench_scales():
@@ -368,6 +518,8 @@ def bench_frame4k():
 
 STAGES = {"densify": bench_densify, "pyramid": bench_pyramid,
           "block": bench_block, "scales": bench_scales,
+          "batch": bench_batch, "refdef": bench_refdef, "frame_pyr": bench_frame_pyr,
+          "relayout": bench_relayout,
           "pyramid_micro": bench_pyramid_micro,
           "extract": bench_extract, "search": bench_search,
           "frame": bench_frame, "banded": bench_banded,

@@ -19,7 +19,7 @@ from ..ops import image as im
 from ..ops import iclk
 from ..ops.densify import densify
 from ..ops.grid import make_grid, init_from_coarser_flow
-from ..ops.pyramid import construct_pyramid
+from ..ops.pyramid import construct_pyramid_auto
 from ..ops.variational import variational_refinement
 
 
@@ -58,8 +58,13 @@ def dis_flow_padded(img1: jnp.ndarray, img2: jnp.ndarray,
         raise ValueError(f"padded input dims must be divisible by {f}")
 
     with jax.named_scope("pyramid"):
-        pyr1 = construct_pyramid(img1, cfg.coarsest_scale, cfg.img_padding)
-        pyr2 = construct_pyramid(img2, cfg.coarsest_scale, cfg.img_padding)
+        # Fused Pallas stencil per level on accelerators; the XLA recipe
+        # on CPU (and under kernel="xla").  Bit-identical paths
+        # (tests/test_pallas_pyramid.py).
+        pyr1 = construct_pyramid_auto(img1, cfg.coarsest_scale,
+                                      cfg.img_padding, cfg.kernel)
+        pyr2 = construct_pyramid_auto(img2, cfg.coarsest_scale,
+                                      cfg.img_padding, cfg.kernel)
 
     flow = None
     debug = []
@@ -220,8 +225,10 @@ def dis_flow_stripe(img1_ext: jnp.ndarray, img2_ext: jnp.ndarray,
     validate_stripe_geometry(cfg, w, global_h, row0, ext_h, own_r0, own_h)
 
     with jax.named_scope("pyramid"):
-        pyr1 = construct_pyramid(img1_ext, cfg.coarsest_scale, cfg.img_padding)
-        pyr2 = construct_pyramid(img2_ext, cfg.coarsest_scale, cfg.img_padding)
+        pyr1 = construct_pyramid_auto(img1_ext, cfg.coarsest_scale,
+                                      cfg.img_padding, cfg.kernel)
+        pyr2 = construct_pyramid_auto(img2_ext, cfg.coarsest_scale,
+                                      cfg.img_padding, cfg.kernel)
 
     flow = None
     for scale in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):

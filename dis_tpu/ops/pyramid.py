@@ -24,12 +24,67 @@ class PyramidLevel(NamedTuple):
     height: int        # unpadded h at this level
 
 
+def construct_pyramid_auto(img: jnp.ndarray, coarsest_scale: int,
+                           img_padding: int, kernel: str) -> "List[PyramidLevel]":
+    """Backend-dispatched pyramid: the fused Pallas level kernel on
+    accelerators (``kernel`` in auto/pallas, mirroring
+    ops/iclk.py::inverse_search), the XLA recipe on CPU.  Both paths are
+    bit-identical (tests/test_pallas_pyramid.py), so every pipeline
+    (untiled, stripe, tiled) can share this dispatch without breaking
+    exact-tiling guarantees.
+
+    ``DIS_TPU_PYRAMID`` (auto|pallas|xla) overrides the choice for A/B
+    measurement; chip numbers are within run-to-run noise of each other
+    (ROOFLINE.md), so ``auto`` follows the measured winner per size.
+    """
+    import os
+
+    import jax
+
+    mode = os.environ.get("DIS_TPU_PYRAMID", "auto")
+    if mode == "xla":
+        use_pallas = False
+    elif mode == "pallas":
+        use_pallas = True
+    else:
+        use_pallas = kernel == "pallas" or (
+            kernel == "auto" and jax.default_backend() != "cpu")
+    return construct_pyramid(img, coarsest_scale, img_padding,
+                             use_pallas=use_pallas,
+                             interpret=jax.default_backend() == "cpu")
+
+
 def construct_pyramid(img: jnp.ndarray, coarsest_scale: int,
-                      img_padding: int) -> List[PyramidLevel]:
-    """Returns levels[0..coarsest], finest first (level index == scale)."""
+                      img_padding: int, use_pallas: bool = False,
+                      interpret: bool = False) -> List[PyramidLevel]:
+    """Returns levels[0..coarsest], finest first (level index == scale).
+
+    With ``use_pallas`` each level's (replicate-padded image,
+    zero-padded Sobel dx/dy) triple is produced by the fused stencil
+    kernel (``ops/pallas/pyramid_kernel.py``, bit-identical); the 0.5x
+    decimations chain through XLA (one fused read each).
+    """
     levels: List[PyramidLevel] = []
-    cur = im.gradient_magnitude(img)
     p = img_padding
+    if use_pallas:
+        from .pallas.pyramid_kernel import pyramid_level_pallas
+
+        cur = None  # level image; derived from kernel output for s=0
+        for s in range(coarsest_scale + 1):
+            if s == 0:
+                ip, dx, dy = pyramid_level_pallas(img, p, base=True,
+                                                  interpret=interpret)
+                h, w = img.shape
+                cur = ip[p:p + h, p:p + w]  # the magnitude image
+            else:
+                cur = im.resize_half(cur)
+                ip, dx, dy = pyramid_level_pallas(cur, p, base=False,
+                                                  interpret=interpret)
+                h, w = cur.shape
+            levels.append(PyramidLevel(img=ip, dx=dx, dy=dy,
+                                       width=w, height=h))
+        return levels
+    cur = im.gradient_magnitude(img)
     for s in range(coarsest_scale + 1):
         if s > 0:
             cur = im.resize_half(cur)

@@ -105,12 +105,14 @@ def _refine_full(img1: jnp.ndarray, img2: jnp.ndarray, flow: jnp.ndarray,
                  cfg: DISConfig) -> jnp.ndarray:
     """Full-frame variational refinement exactly as ``dis_flow_padded``
     runs it: on the finest-scale pyramid images (quirk-Q1 planes)."""
-    from ..ops.pyramid import construct_pyramid
+    from ..ops.pyramid import construct_pyramid_auto
     from ..ops.variational import variational_refinement
 
     s = cfg.finest_scale
-    pyr1 = construct_pyramid(img1, cfg.coarsest_scale, cfg.img_padding)
-    pyr2 = construct_pyramid(img2, cfg.coarsest_scale, cfg.img_padding)
+    pyr1 = construct_pyramid_auto(img1, cfg.coarsest_scale,
+                                  cfg.img_padding, cfg.kernel)
+    pyr2 = construct_pyramid_auto(img2, cfg.coarsest_scale,
+                                  cfg.img_padding, cfg.kernel)
     return variational_refinement(pyr1[s].img, pyr2[s].img, flow, cfg)
 
 
