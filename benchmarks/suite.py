@@ -77,9 +77,15 @@ def main():
     dt = timed(f1, a, b)
     emit(config=1, desc="single Sintel pair DIS-fast", fps=round(1 / dt, 3))
 
-    # 2: full preset with variational refinement
+    # 2: full preset with variational refinement (paper-form: one
+    # warp/linearization per level, lagged fixed-point + SOR, as in the
+    # DIS authors' OpenCV VariationalRefinement; quality A/B in
+    # PERF_NOTES.md shows this beats re-warping outers)
     cfg2 = DISConfig(iterations=16, coarsest_scale=3, patch_overlap=0.3,
-                     mode="fixed", refinement_iters=5, early_exit=False)
+                     mode="fixed", refinement_iters=1,
+                     refine_per_level=True, refinement_inner_sweeps=5,
+                     refinement_sor_sweeps=5, refinement_omega=1.6,
+                     early_exit=False)
     f2 = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg2).sum())
     dt = timed(f2, a, b)
     emit(config=2, desc="full DIS + variational refinement", fps=round(1 / dt, 3))
@@ -97,6 +103,24 @@ def main():
     dt = timed(g, aa, bb)
     emit(config=3, desc=f"KITTI batch x{nb} pairs", pairs_per_sec=round(nb / dt, 3),
          devices=nb)
+
+    # 3b: single-chip vmap batching (the coarse scales run small grids
+    # at ~2.6x worse per-patch efficiency — batching pairs widens them,
+    # so per-chip throughput exceeds 1/latency; ROOFLINE.md per-scale
+    # split).  Reported at the best batch size.
+    if ndev == 1:
+        best_bsz, best_pps = 1, nb / dt
+        for bsz in (2, 4):
+            a2 = jnp.asarray(np.stack([synth(kh, kw, 100 + i)
+                                       for i in range(bsz)]))
+            b2 = jnp.asarray(np.stack([synth(kh, kw, 150 + i)
+                                       for i in range(bsz)]))
+            gb = jax.jit(lambda x, y: bf(x, y).sum())
+            dtb = timed(gb, a2, b2)
+            if bsz / dtb > best_pps:
+                best_bsz, best_pps = bsz, bsz / dtb
+        emit(config="3b", desc=f"KITTI single-chip vmap batch x{best_bsz}",
+             pairs_per_sec=round(best_pps, 3), devices=1)
 
     # 4: 1080p frame-tiled across devices (latency)
     ns = 2 if ndev >= 2 else 1

@@ -252,31 +252,30 @@ def bench_relayout():
     regs2 = jnp.asarray(rng.random((npad, rr * rc)).astype(np.float32))
     eye = jnp.eye(block, dtype=jnp.float32)
 
+    def done(out):
+        # Force the relayout result to be materialized: a bare .sum()
+        # lets XLA elide the transpose (reduce-of-transpose simplifies
+        # away), which made the first round of these numbers bogus.
+        return lax.optimization_barrier(out).sum()
+
     def mxu_from3(x):
         lhs = x.reshape(nb, block, rr * rc)
         out = lax.dot_general(lhs, eye, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
         # [nb, rr*rc, block] -> [nb, rr, rc, block]
-        return out.reshape(nb, rr, rc, block).sum()
+        return done(out.reshape(nb, rr, rc, block))
 
-    def mxu_from2(x):
-        lhs = x.reshape(nb, block, rr * rc)
-        out = lax.dot_general(lhs, eye, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-        return out.reshape(nb, rr, rc, block).sum()
-
-    t4 = jax.jit(lambda x: x.reshape(nb, block, rr, rc)
-                 .transpose(0, 2, 3, 1).sum())
+    t4 = jax.jit(lambda x: done(x.reshape(nb, block, rr, rc)
+                                .transpose(0, 2, 3, 1)))
     emit(stage="relayout", algo="transpose_4d",
          ms=round(timed(t4, regs3) * 1e3, 3))
     emit(stage="relayout", algo="mxu_eye_from_3d",
          ms=round(timed(jax.jit(mxu_from3), regs3) * 1e3, 3))
-    emit(stage="relayout", algo="mxu_eye_from_dense2d",
-         ms=round(timed(jax.jit(mxu_from2), regs2) * 1e3, 3))
     # dense-2d XLA transpose for comparison (what a flat extraction
     # write would give the old route)
-    td = jax.jit(lambda x: x.reshape(nb, block, rr * rc)
-                 .transpose(0, 2, 1).reshape(nb, rr, rc, block).sum())
+    td = jax.jit(lambda x: done(x.reshape(nb, block, rr * rc)
+                                .transpose(0, 2, 1)
+                                .reshape(nb, rr, rc, block)))
     emit(stage="relayout", algo="transpose_from_dense2d",
          ms=round(timed(td, regs2) * 1e3, 3))
 
@@ -399,6 +398,50 @@ def bench_batch():
             emit(stage="batch", batch=bsz, error=str(e)[:200])
 
 
+def bench_refine():
+    """Variational refinement structure A/B (suite config-2 shape).
+
+    'cur'   = round-2 default: 5 IRLS outers (5 full warps) at the
+              finest scale only, 5 weight updates x 1 sweep each.
+    'paper' = OpenCV VariationalRefinement structure (the DIS authors'
+              own refinement): ONE warp per pyramid level, 5 lagged
+              weight updates x 5 SOR sweeps, omega=1.6.
+    'paper_finest' = same single-warp structure, finest level only.
+    Quality for the same candidates is measured on CPU
+    (/tmp/refine_ab.py; recorded in PERF_NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dis_tpu.config import DISConfig
+    from dis_tpu.models.dis import dis_flow_padded
+
+    base = dict(iterations=16, coarsest_scale=3, patch_overlap=0.3,
+                mode="fixed", early_exit=False)
+    cands = {
+        "cur_5warp_finest": DISConfig(**base, refinement_iters=5,
+                                      refinement_inner_sweeps=5,
+                                      refinement_sor_sweeps=1),
+        "paper_perlevel": DISConfig(**base, refinement_iters=1,
+                                    refine_per_level=True,
+                                    refinement_inner_sweeps=5,
+                                    refinement_sor_sweeps=5,
+                                    refinement_omega=1.6),
+        "paper_finest": DISConfig(**base, refinement_iters=1,
+                                  refinement_inner_sweeps=5,
+                                  refinement_sor_sweeps=5,
+                                  refinement_omega=1.6),
+        "none": DISConfig(**base, refinement_iters=0),
+    }
+    h, w = 440, 1024
+    i1 = jnp.asarray(synth(h, w, 1))
+    i2 = jnp.asarray(synth(h, w, 2))
+    for name, cfg in cands.items():
+        fn = jax.jit(lambda a, b, cfg=cfg: dis_flow_padded(a, b, cfg).sum())
+        dt = timed(fn, i1, i2, chain=4)
+        emit(stage="refine", algo=name, fps=round(1.0 / dt, 3),
+             ms=round(dt * 1e3, 2))
+
+
 def bench_refdef():
     """Reference's own defaults (1000 iterations, stride 2, Sintel size,
     compat semantics) on the in-kernel while_loop early-exit path.
@@ -460,9 +503,8 @@ def bench_frame():
     i2 = jnp.asarray(synth(PADH, W, 2))
 
     combos = [
-        ("phases", "align", "2d"),     # round-2 shipped
-        ("phases", "align2", "2d"),    # narrowing-schedule candidates
-        ("phases", "align2", "4d"),
+        ("phases", "align2", "4d"),    # round-2 shipped default
+        ("phases", "align2", "mxu"),   # MXU identity-contraction relayout
     ]
     for dalgo, sampler, layout in combos:
         dmod._ALGO = dalgo
@@ -519,7 +561,7 @@ def bench_frame4k():
 STAGES = {"densify": bench_densify, "pyramid": bench_pyramid,
           "block": bench_block, "scales": bench_scales,
           "batch": bench_batch, "refdef": bench_refdef, "frame_pyr": bench_frame_pyr,
-          "relayout": bench_relayout,
+          "relayout": bench_relayout, "refine": bench_refine,
           "pyramid_micro": bench_pyramid_micro,
           "extract": bench_extract, "search": bench_search,
           "frame": bench_frame, "banded": bench_banded,

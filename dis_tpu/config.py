@@ -71,6 +71,11 @@ class DISConfig:
     # blocking): weights/system assembly is ~45% of a sweep's work, so
     # K>1 trades slightly staler weights for ~1.4x cheaper sweeps.
     refinement_sor_sweeps: int = 1
+    # Red-black successive over-relaxation factor (1.0 = plain
+    # Gauss-Seidel).  The DIS authors' refinement (OpenCV
+    # VariationalRefinement) uses 1.6; >1 accelerates the linear solve
+    # so fewer sweeps reach the same fixed point.
+    refinement_omega: float = 1.0
     early_exit: bool = True
     conv_eps: float = 0.01
 
@@ -141,13 +146,22 @@ DIS_FAST = DISConfig(
 DIS_MEDIUM = DISConfig(
     iterations=16, patch_size=8, coarsest_scale=3, finest_scale=0,
     patch_overlap=0.5, mode="fixed", early_exit=True,
-    refinement_iters=5, refine_per_level=True,
+    # Paper-form refinement (OpenCV VariationalRefinement structure,
+    # the DIS authors' own implementation): ONE warp/linearization per
+    # level, 5 lagged fixed-point weight updates x 5 SOR sweeps,
+    # omega=1.6.  Measured better EPE than 5 re-warping outers at 1/5
+    # the warp cost (PERF_NOTES.md round-2 refinement A/B).
+    refinement_iters=1, refine_per_level=True,
+    refinement_inner_sweeps=5, refinement_sor_sweeps=5,
+    refinement_omega=1.6,
 )
 
 DIS_FULL = DISConfig(
     iterations=64, patch_size=12, coarsest_scale=4, finest_scale=0,
     patch_overlap=0.75, mode="fixed", early_exit=True,
-    refinement_iters=10, refine_per_level=True,
+    refinement_iters=1, refine_per_level=True,
+    refinement_inner_sweeps=10, refinement_sor_sweeps=5,
+    refinement_omega=1.6,
 )
 
 DIS_COMPAT_DEFAULT = DISConfig()

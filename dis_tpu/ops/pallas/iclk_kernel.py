@@ -54,6 +54,8 @@ _SAMPLER = os.environ.get("DIS_TPU_SAMPLER", "align2")
 #        19x19: slow relayout, 8.3 ms at 1080p per round-1 PERF_NOTES).
 #   2d — a plain 2-D transpose [npad, 361] -> [361, npad] followed by a
 #        major-dim swap (contiguous 2 KB runs); same final array.
+#   mxu — contract the patch dim against a block-size identity on the
+#        MXU (bit-exact; ~0.6 ms of matmul at 1080p vs ~3 ms relayout).
 # Measured on v5e: 2d is ~1 ms SLOWER end-to-end (XLA evidently merges
 # the pair back into a relayout plus an extra copy); 4d stays default.
 _REG_LAYOUT = os.environ.get("DIS_TPU_REG_LAYOUT", "4d")
@@ -381,6 +383,18 @@ def inverse_search_pallas(
     traw_b = blk(padn(T).T)
     if _REG_LAYOUT == "4d":
         reg_b = padn(regions).reshape(nb, block, rr, rc).transpose(0, 2, 3, 1)
+    elif _REG_LAYOUT == "mxu":
+        # Contract the patch dim against a block-size identity on the
+        # MXU instead of a VPU/copy relayout.  Bit-exact: each output
+        # element is one x*1 product plus exact zeros (1.0 and 0.0 are
+        # exact under the bf16x3 f32-matmul decomposition, and the
+        # hi/mid/lo split of x re-sums exactly in the f32 accumulator).
+        lhs = padn(regions).reshape(nb, block, rr * rc)
+        eye = jnp.eye(block, dtype=jnp.float32)
+        reg_b = jax.lax.dot_general(
+            lhs, eye, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(nb, rr, rc, block)
     else:
         # Plain 2-D transpose, then a major-dim swap whose minor dim
         # (block lanes) stays contiguous; reshapes are free.

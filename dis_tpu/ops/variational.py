@@ -17,6 +17,16 @@ weights) with red-black Gauss-Seidel inner sweeps.  Red-black updates
 are expressed as dense masked updates over the full grid — two masked
 half-sweeps per iteration — which keeps every step a fused elementwise
 stencil, ideal for the VPU; no scatter, no data-dependent control flow.
+
+Structure knobs (cfg): ``refinement_iters`` outer warps /
+re-linearizations; per warp, ``refinement_inner_sweeps`` lagged
+robust-weight (fixed-point) updates; per weight update,
+``refinement_sor_sweeps`` red-black SOR sweeps with factor
+``refinement_omega``.  The paper form — what the DIS authors' own
+OpenCV ``VariationalRefinement`` does per pyramid level — is ONE warp,
+5 fixed-point updates, 5 SOR sweeps, omega 1.6 (presets DIS_MEDIUM /
+DIS_FULL); measured both faster (1/5 the warp cost) and more accurate
+than re-warping outers on the six synthetic motion families.
 """
 
 from __future__ import annotations
@@ -113,6 +123,7 @@ def variational_refinement(img1_padded: jnp.ndarray, img2_padded: jnp.ndarray,
     ys, xs = jnp.mgrid[0:h, 0:w]
     red = ((xs + ys) % 2 == 0).astype(jnp.float32)
     black = 1.0 - red
+    omega = jnp.float32(cfg.refinement_omega)
 
     def _shift_edge(x, dy, dx):
         """Neighbor value at (y+dy, x+dx) with replicate border."""
@@ -178,6 +189,12 @@ def variational_refinement(img1_padded: jnp.ndarray, img2_padded: jnp.ndarray,
                 det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
                 du_new = (A22 * b1 - A12 * b2) / det
                 dv_new = (A11 * b2 - A12 * b1) / det
+                # Block SOR: over-relax the exact 2x2 point solve
+                # (omega=1 is plain red-black Gauss-Seidel, kept as the
+                # direct assignment so it stays bit-identical).
+                if cfg.refinement_omega != 1.0:
+                    du_new = du + omega * (du_new - du)
+                    dv_new = dv + omega * (dv_new - dv)
                 du = jnp.where(mask > 0, du_new, du)
                 dv = jnp.where(mask > 0, dv_new, dv)
                 return du, dv

@@ -151,3 +151,30 @@ def test_pallas_e2e_align_sampler():
     d = np.abs(fp - fx)
     assert d.mean() < 1e-3, d.mean()
     assert (d > 1e-2).mean() < 0.02, (d > 1e-2).mean()
+
+
+def test_mxu_region_layout_bitwise_equals_4d():
+    """The MXU identity-contraction relayout (DIS_TPU_REG_LAYOUT=mxu)
+    must be bit-identical to the 4-D transpose route: every kernel
+    input is the same array, so every output must match exactly."""
+    for mode in ("compat", "fixed"):
+        cfg, l1, l2, tpl, centers = _single_scale_problem(mode, seed=13)
+        init_u = jnp.asarray(
+            np.random.default_rng(7).uniform(
+                -2, 2, centers.shape).astype(np.float32))
+        cfg_p = DISConfig(**{**cfg.__dict__, "kernel": "pallas"})
+        out = {}
+        old = kmod._REG_LAYOUT
+        try:
+            for lay in ("4d", "mxu"):
+                kmod._REG_LAYOUT = lay
+                out[lay] = iclk.inverse_search(l2.img, tpl, centers, init_u,
+                                               cfg_p, l1.width, l1.height)
+        finally:
+            kmod._REG_LAYOUT = old
+        np.testing.assert_array_equal(np.asarray(out["mxu"].u),
+                                      np.asarray(out["4d"].u))
+        np.testing.assert_array_equal(np.asarray(out["mxu"].Q),
+                                      np.asarray(out["4d"].Q))
+        np.testing.assert_array_equal(np.asarray(out["mxu"].converged),
+                                      np.asarray(out["4d"].converged))
