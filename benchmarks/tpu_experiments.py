@@ -430,6 +430,14 @@ def bench_refine():
                                   refinement_inner_sweeps=5,
                                   refinement_sor_sweeps=5,
                                   refinement_omega=1.6),
+        # One-plane warp + Sobel-of-warped gradient averaging (the
+        # OpenCV VariationalRefinement linearization): 1/6th the gather.
+        "paper_warp1": DISConfig(**base, refinement_iters=1,
+                                 refine_per_level=True,
+                                 refinement_inner_sweeps=5,
+                                 refinement_sor_sweeps=5,
+                                 refinement_omega=1.6,
+                                 refinement_scheme="warp1"),
         "none": DISConfig(**base, refinement_iters=0),
     }
     h, w = 440, 1024
@@ -440,6 +448,55 @@ def bench_refine():
         dt = timed(fn, i1, i2, chain=4)
         emit(stage="refine", algo=name, fps=round(1.0 / dt, 3),
              ms=round(dt * 1e3, 2))
+
+
+def bench_warp():
+    """Warp gather formulations (refinement's dominant cost): TPU gather
+    cost scales with gathered ROWS, not bytes — take2/slice1 fetch the
+    same tap values with 2x/4x fewer gather rows via replicate-padded
+    corner slices.  Also re-times the full config-2-shaped frame with
+    the winner."""
+    import jax
+    import jax.numpy as jnp
+
+    import dis_tpu.ops.variational as vmod
+    from dis_tpu.config import DISConfig
+    from dis_tpu.models.dis import dis_flow_padded
+
+    h, w = 440, 1024
+    rng = np.random.default_rng(7)
+    planes = jnp.asarray(rng.random((h, w, 6)).astype(np.float32))
+    flow = jnp.asarray(
+        (rng.random((h, w, 2)).astype(np.float32) - 0.5) * 8.0)
+
+    ref = None
+    for mode in ("take4", "take2", "slice1"):
+        vmod._WARP = mode
+        fn = jax.jit(lambda f: vmod._warp_bilinear(planes, f)[0].sum())
+        try:
+            dt = timed(fn, flow, chain=8)
+            out = np.asarray(jax.jit(
+                lambda f: vmod._warp_bilinear(planes, f)[0])(flow))
+            if ref is None:
+                ref = out
+            emit(stage="warp", mode=mode, ms=round(dt * 1e3, 3),
+                 bit_exact=bool(np.array_equal(out, ref)))
+        except Exception as e:
+            emit(stage="warp", mode=mode, error=str(e)[:200])
+
+    cfg = DISConfig(iterations=16, coarsest_scale=3, patch_overlap=0.3,
+                    mode="fixed", early_exit=False, refinement_iters=1,
+                    refine_per_level=True, refinement_inner_sweeps=5,
+                    refinement_sor_sweeps=5, refinement_omega=1.6)
+    i1 = jnp.asarray(synth(h, w, 1))
+    i2 = jnp.asarray(synth(h, w, 2))
+    for mode in ("take4", "take2"):
+        vmod._WARP = mode
+        fn = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg).sum())
+        dt = timed(fn, i1, i2, chain=4)
+        emit(stage="warp_frame", mode=mode, fps=round(1.0 / dt, 3),
+             ms=round(dt * 1e3, 2))
+    vmod._WARP = os.environ.get("DIS_TPU_WARP", "take4")
 
 
 def bench_refdef():
@@ -562,6 +619,7 @@ STAGES = {"densify": bench_densify, "pyramid": bench_pyramid,
           "block": bench_block, "scales": bench_scales,
           "batch": bench_batch, "refdef": bench_refdef, "frame_pyr": bench_frame_pyr,
           "relayout": bench_relayout, "refine": bench_refine,
+          "warp": bench_warp,
           "pyramid_micro": bench_pyramid_micro,
           "extract": bench_extract, "search": bench_search,
           "frame": bench_frame, "banded": bench_banded,

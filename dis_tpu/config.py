@@ -76,6 +76,16 @@ class DISConfig:
     # VariationalRefinement) uses 1.6; >1 accelerates the linear solve
     # so fewer sweeps reach the same fixed point.
     refinement_omega: float = 1.0
+    # Linearization scheme per outer warp:
+    #   "planes6" — warp I2 and its five derivative planes with one
+    #               shared gather (Brox-exact: derivatives OF I2,
+    #               sampled at x+u).
+    #   "warp1"   — warp only I2, then Sobel the warped image and
+    #               average with I1's gradients (gradient averaging, the
+    #               structure of the DIS authors' own OpenCV
+    #               VariationalRefinement).  1/6th the gather work; the
+    #               warp dominates refinement cost on TPU.
+    refinement_scheme: str = "planes6"
     early_exit: bool = True
     conv_eps: float = 0.01
 
@@ -86,6 +96,10 @@ class DISConfig:
             raise ValueError(f"sampler must be 'region' or 'global', got {self.sampler!r}")
         if self.kernel not in ("auto", "pallas", "xla"):
             raise ValueError(f"kernel must be 'auto', 'pallas' or 'xla', got {self.kernel!r}")
+        if self.refinement_scheme not in ("planes6", "warp1"):
+            raise ValueError(
+                f"refinement_scheme must be 'planes6' or 'warp1', "
+                f"got {self.refinement_scheme!r}")
         if self.patch_size % 2 != 0:
             raise ValueError("patch_size must be even (reference uses ps/2 offsets)")
         if self.finest_scale > self.coarsest_scale:

@@ -31,6 +31,7 @@ than re-warping outers on the six synthetic motion families.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -38,6 +39,16 @@ from jax import lax
 
 from ..config import DISConfig
 from . import image as im
+
+# Warp gather formulation (bit-identical tap values; A/B on chip):
+#   take4  — four C-wide row takes (round-2 shipped path).
+#   take2  — two gathers of [2, C] row-pair slices from width+1
+#            replicate-padded planes (x1 = x0+1 always valid, so the
+#            right-edge clamp folds into the padding).  Halves the
+#            gather rows; TPU gather cost scales with rows, not bytes.
+#   slice1 — one gather of [2, 2, C] corner slices from (H+1, W+1)
+#            replicate-padded planes.
+_WARP = os.environ.get("DIS_TPU_WARP", "take4")
 
 # Charbonnier epsilon^2 per term.  The classic eps=1e-3 assumes
 # intensities normalized to [0, 1]; this pipeline works on 0..255
@@ -78,15 +89,56 @@ def _warp_bilinear(planes: jnp.ndarray, flow: jnp.ndarray) -> Tuple[jnp.ndarray,
     fyc = jnp.clip(fy, 0.0, h - 1.0)
     x0 = jnp.floor(fxc).astype(jnp.int32)
     y0 = jnp.floor(fyc).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
     a = (fxc - x0)[..., None]
     b = (fyc - y0)[..., None]
-    flat = planes.reshape(h * w, c)
-    def g(yy, xx):
-        return jnp.take(flat, yy * w + xx, axis=0)
-    out = ((1 - a) * (1 - b) * g(y0, x0) + a * (1 - b) * g(y0, x1)
-           + (1 - a) * b * g(y1, x0) + a * b * g(y1, x1))
+
+    # Tap values are identical across formulations: x0 <= w-1 always, and
+    # when x0 == w-1 the replicate-padded column w equals column w-1 —
+    # exactly what the min(x0+1, w-1) clamp of the take4 path reads
+    # (likewise for y), so the blend consumes the same four corners.
+    if _WARP == "take4":
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        flat = planes.reshape(h * w, c)
+
+        def g(yy, xx):
+            return jnp.take(flat, yy * w + xx, axis=0)
+
+        c00, c01 = g(y0, x0), g(y0, x1)
+        c10, c11 = g(y1, x0), g(y1, x1)
+    else:
+        pp = jnp.concatenate([planes, planes[:, -1:, :]], axis=1)
+        pp = jnp.concatenate([pp, pp[-1:, :, :]], axis=0)  # [h+1, w+1, c]
+        m = h * w
+        if _WARP == "slice1":
+            idx = jnp.stack([y0.reshape(m), x0.reshape(m)], axis=-1)
+            dn = lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+                start_index_map=(0, 1))
+            quad = lax.gather(pp, idx, dn, slice_sizes=(2, 2, c))  # [M,2,2,c]
+            c00 = quad[:, 0, 0].reshape(h, w, c)
+            c01 = quad[:, 0, 1].reshape(h, w, c)
+            c10 = quad[:, 1, 0].reshape(h, w, c)
+            c11 = quad[:, 1, 1].reshape(h, w, c)
+        else:  # take2: two row-pair gathers
+            flat = pp.reshape((h + 1) * (w + 1), c)
+            base = (y0 * (w + 1) + x0).reshape(m, 1)
+            dn = lax.GatherDimensionNumbers(
+                offset_dims=(1, 2), collapsed_slice_dims=(),
+                start_index_map=(0,))
+
+            def g2(ind):
+                return lax.gather(flat, ind, dn, slice_sizes=(2, c))
+
+            row0 = g2(base)                 # [M, 2, c]: (y0,x0), (y0,x0+1)
+            row1 = g2(base + (w + 1))       # [M, 2, c]: (y1,x0), (y1,x0+1)
+            c00 = row0[:, 0].reshape(h, w, c)
+            c01 = row0[:, 1].reshape(h, w, c)
+            c10 = row1[:, 0].reshape(h, w, c)
+            c11 = row1[:, 1].reshape(h, w, c)
+
+    out = ((1 - a) * (1 - b) * c00 + a * (1 - b) * c01
+           + (1 - a) * b * c10 + a * b * c11)
     return out, inb
 
 
@@ -108,13 +160,20 @@ def variational_refinement(img1_padded: jnp.ndarray, img2_padded: jnp.ndarray,
     I1 = img1_padded[p:p + h, p:p + w]
     I2 = img2_padded[p:p + h, p:p + w]
 
-    I2x = im.sobel3(I2, "x")
-    I2y = im.sobel3(I2, "y")
     I1x = im.sobel3(I1, "x")
     I1y = im.sobel3(I1, "y")
-    I2xx = im.sobel3(I2x, "x")
-    I2xy = im.sobel3(I2x, "y")
-    I2yy = im.sobel3(I2y, "y")
+    warp1 = cfg.refinement_scheme == "warp1"
+    if warp1:
+        # Only I2 itself is warped; gradients come from Sobel of the
+        # warped image (see below).
+        planes = I2[..., None]
+    else:
+        I2x = im.sobel3(I2, "x")
+        I2y = im.sobel3(I2, "y")
+        I2xx = im.sobel3(I2x, "x")
+        I2xy = im.sobel3(I2x, "y")
+        I2yy = im.sobel3(I2y, "y")
+        planes = jnp.stack([I2, I2x, I2y, I2xx, I2xy, I2yy], axis=-1)
 
     alpha = jnp.float32(cfg.refinement_alpha)
     delta = jnp.float32(cfg.refinement_delta)
@@ -130,19 +189,37 @@ def variational_refinement(img1_padded: jnp.ndarray, img2_padded: jnp.ndarray,
         xp = jnp.pad(x, ((1, 1), (1, 1)), mode="edge")
         return xp[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
 
-    planes = jnp.stack([I2, I2x, I2y, I2xx, I2xy, I2yy], axis=-1)
-
     def outer(flow, _):
         u0 = flow[..., 0]
         v0 = flow[..., 1]
-        # Warp I2 and its derivative planes with one shared gather.
-        warped, inb = _warp_bilinear(planes, flow)
-        W, Wx, Wy, Wxx, Wxy, Wyy = [warped[..., i] for i in range(6)]
+        if warp1:
+            # Warp only I2 (one-plane gather), then differentiate the
+            # WARPED image and average with I1's gradients — the
+            # gradient-averaging linearization of the DIS authors' own
+            # OpenCV VariationalRefinement (prepareBuffers computes Ix =
+            # 0.5*(dI0 + d warped I1), Iz = warped - I0, Izx = d(Iz)).
+            # 1/6th the gather work of the six-plane warp; the warp is
+            # the dominant refinement cost on TPU (PERF_NOTES.md).
+            warped, inb = _warp_bilinear(planes, flow)
+            W = warped[..., 0]
+            Wxr = im.sobel3(W, "x")
+            Wyr = im.sobel3(W, "y")
+            Wx = 0.5 * (I1x + Wxr)
+            Wy = 0.5 * (I1y + Wyr)
+            Iz = W - I1
+            Izx = Wxr - I1x
+            Izy = Wyr - I1y
+            Wxx = im.sobel3(Wx, "x")
+            Wxy = im.sobel3(Wx, "y")
+            Wyy = im.sobel3(Wy, "y")
+        else:
+            # Warp I2 and its derivative planes with one shared gather.
+            warped, inb = _warp_bilinear(planes, flow)
+            W, Wx, Wy, Wxx, Wxy, Wyy = [warped[..., i] for i in range(6)]
+            Iz = W - I1
+            Izx = Wx - I1x
+            Izy = Wy - I1y
         m = inb.astype(jnp.float32)
-
-        Iz = W - I1
-        Izx = Wx - I1x
-        Izy = Wy - I1y
 
         def inner(carry, _):
             du, dv = carry
