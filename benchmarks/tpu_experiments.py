@@ -450,6 +450,79 @@ def bench_refine():
              ms=round(dt * 1e3, 2))
 
 
+def bench_glue():
+    """Round-2 device-trace glue fixes: resize_half formulation,
+    conv-vs-slices templates (with on-chip bit-equality), and the
+    whole 1080p frame with the regions pad round-trip removed."""
+    import jax
+    import jax.numpy as jnp
+
+    import dis_tpu.ops.image as imod
+    import dis_tpu.ops.iclk as imod2
+    from dis_tpu.config import DISConfig
+    from dis_tpu.models.dis import dis_flow_padded
+
+    img = jnp.asarray(synth(PADH, W))
+    ref = None
+    for mode in ("reshape", "slices", "window"):
+        imod._RESIZE = mode
+        fn = jax.jit(lambda x: imod.resize_half(x).sum())
+        out = np.asarray(jax.jit(imod.resize_half)(img))
+        if ref is None:
+            ref = out
+        emit(stage="resize", mode=mode, ms=round(timed(fn, img) * 1e3, 3),
+             max_delta=float(np.abs(out - ref).max()))
+    imod._RESIZE = os.environ.get("DIS_TPU_RESIZE", "slices")
+
+    from dis_tpu.ops.grid import make_grid
+    from dis_tpu.ops.pyramid import construct_pyramid
+    for h, w in ((PADH, W), (544, 960), (272, 480), (136, 240)):
+        timg = jnp.asarray(synth(h, w, 1))
+        l1 = construct_pyramid(timg, 0, 8)[0]
+        geom = make_grid(l1.width, l1.height, 5)
+        outs = {}
+        for mode in ("slices", "conv"):
+            imod2._TEMPLATES = mode
+            fn = jax.jit(lambda im_, g=geom, l=l1: sum(
+                t.sum() for t in imod2.extract_templates_grid(
+                    im_, l.dx, l.dy, g, 8, 8)))
+            g2 = jax.jit(lambda im_, g=geom, l=l1: imod2.extract_templates_grid(
+                im_, l.dx, l.dy, g, 8, 8).T)(l1.img)
+            outs[mode] = np.asarray(g2)
+            emit(stage="templates", size=f"{w}x{h}", mode=mode,
+                 ms=round(timed(fn, l1.img) * 1e3, 3))
+        emit(stage="templates", size=f"{w}x{h}", bit_exact=bool(
+            np.array_equal(outs["slices"], outs["conv"])))
+    imod2._TEMPLATES = os.environ.get("DIS_TPU_TEMPLATES", "auto")
+
+    cfg = DISConfig(iterations=16, patch_size=8, coarsest_scale=3,
+                    finest_scale=0, patch_overlap=0.3, mode="compat",
+                    early_exit=False)
+    f1 = jnp.asarray(synth(PADH, W, 1))
+    f2 = jnp.asarray(synth(PADH, W, 2))
+    fn = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg).sum())
+    dt = timed(fn, f1, f2, chain=8)
+    emit(stage="frame_glue", fps=round(1.0 / dt, 3), ms=round(dt * 1e3, 2))
+
+
+def bench_framex():
+    """Just the current-defaults 1080p DIS-fast compat frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from dis_tpu.config import DISConfig
+    from dis_tpu.models.dis import dis_flow_padded
+
+    cfg = DISConfig(iterations=16, patch_size=8, coarsest_scale=3,
+                    finest_scale=0, patch_overlap=0.3, mode="compat",
+                    early_exit=False)
+    f1 = jnp.asarray(synth(PADH, W, 1))
+    f2 = jnp.asarray(synth(PADH, W, 2))
+    fn = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg).sum())
+    dt = timed(fn, f1, f2, chain=8)
+    emit(stage="framex", fps=round(1.0 / dt, 3), ms=round(dt * 1e3, 2))
+
+
 def bench_warp():
     """Warp gather formulations (refinement's dominant cost): TPU gather
     cost scales with gathered ROWS, not bytes — take2/slice1 fetch the
@@ -534,7 +607,8 @@ def bench_scales():
 
     i1 = jnp.asarray(synth(PADH, W, 1))
     i2 = jnp.asarray(synth(PADH, W, 2))
-    for coarsest, finest in ((3, 0), (0, 0), (3, 1)):
+    for coarsest, finest in ((3, 0), (0, 0), (3, 1),
+                             (1, 1), (2, 2), (3, 3)):
         cfg = DISConfig(iterations=16, patch_size=8, coarsest_scale=coarsest,
                         finest_scale=finest, patch_overlap=0.3, mode="compat",
                         early_exit=False)
@@ -619,7 +693,7 @@ STAGES = {"densify": bench_densify, "pyramid": bench_pyramid,
           "block": bench_block, "scales": bench_scales,
           "batch": bench_batch, "refdef": bench_refdef, "frame_pyr": bench_frame_pyr,
           "relayout": bench_relayout, "refine": bench_refine,
-          "warp": bench_warp,
+          "warp": bench_warp, "glue": bench_glue, "framex": bench_framex,
           "pyramid_micro": bench_pyramid_micro,
           "extract": bench_extract, "search": bench_search,
           "frame": bench_frame, "banded": bench_banded,

@@ -25,6 +25,7 @@ Quirk-compat details (SURVEY.md §2):
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -32,6 +33,16 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import DISConfig
+
+# Template extraction route: "conv" = one MXU patches-conv for the
+# 3*ps^2 taps (bit-identical on chip, one-hot identity filter at
+# HIGHEST precision); "slices" = 3*ps^2 strided slices.  Measured on
+# v5e at the 1080p finest scale: slices 1.53 ms, conv 5.64 ms (the
+# stride-5 HIGHEST-precision conv is implicit-GEMM-bound) — "auto"
+# therefore keeps slices at large grids and uses conv only for small
+# grids where per-slice op overhead dominates (see _CONV_MAX_PATCHES).
+_TEMPLATES = _os.environ.get("DIS_TPU_TEMPLATES", "auto")
+_CONV_MAX_PATCHES = int(_os.environ.get("DIS_TPU_TEMPLATES_CONV_MAX", "0"))
 
 
 class PatchTemplates(NamedTuple):
@@ -94,6 +105,31 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
     y0 = geom.iy0 * s + geom.offset_h - half + pad - row0
     x0 = geom.offset_w - half + pad
 
+    use_conv = (_TEMPLATES == "conv" or
+                (_TEMPLATES == "auto" and jax.default_backend() != "cpu"
+                 and n <= _CONV_MAX_PATCHES))
+    if use_conv:
+        # One MXU patches-conv for all three planes replaces 3*ps^2
+        # strided slices (the round-2 device trace bills those at
+        # ~4.6 ms/frame across the four scales).  The one-hot identity
+        # filter at HIGHEST precision copies taps exactly (each output
+        # is one 1.0*x product plus zeros under the bf16x3 f32
+        # decomposition) — bit-identical to the slice path
+        # (tests/test_pipeline_parity.py::test_templates_conv_matches_slices).
+        ye = y0 + (geom.num_h - 1) * s + ps
+        xe = x0 + (geom.num_w - 1) * s + ps
+        p3 = jnp.stack([img[y0:ye, x0:xe], dx[y0:ye, x0:xe],
+                        dy[y0:ye, x0:xe]])[None]          # [1, 3, Hw, Ww]
+        pat = lax.conv_general_dilated_patches(
+            p3, (ps, ps), (s, s), "VALID",
+            precision=lax.Precision.HIGHEST)[0]           # [3*ps^2, nh, nw]
+        # channel order is plane-major then (j, i) — verified vs slices
+        flat = pat.transpose(2, 1, 0).reshape(n, 3 * ps * ps)  # x-outer
+        T = flat[:, :ps * ps]
+        Tdx = flat[:, ps * ps:2 * ps * ps]
+        Tdy = flat[:, 2 * ps * ps:]
+        return _templates_from_taps(T, Tdx, Tdy)
+
     def tap_stack(plane):
         cols = []
         for j in range(ps):
@@ -111,7 +147,12 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
     T = tap_stack(img)
     Tdx = tap_stack(dx)
     Tdy = tap_stack(dy)
+    return _templates_from_taps(T, Tdx, Tdy)
 
+
+def _templates_from_taps(T: jnp.ndarray, Tdx: jnp.ndarray,
+                         Tdy: jnp.ndarray) -> PatchTemplates:
+    """2x2 Gauss-Newton Hessian + det==0 guard (patch.cpp:75-91)."""
     a = (Tdx * Tdx).sum(axis=1)
     b = (Tdx * Tdy).sum(axis=1)
     c = (Tdy * Tdy).sum(axis=1)
@@ -171,8 +212,6 @@ def sample_patches(img2: jnp.ndarray, pos: jnp.ndarray, ps: int, pad: int,
         q = q - q.sum(axis=1, keepdims=True) * jnp.float32(1.0 / (ps * ps))
     return q
 
-
-import os as _os
 
 # Region rows packed per gathered row. Counter-intuitively, 1 is the
 # end-to-end winner at 1080p (9.40 vs 7.65 fps for 6): XLA fuses the
@@ -360,8 +399,14 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
                       and init_bound is not None
                       and band_width_ok(ps, init_bound))
         if on_tpu and can_image and _EXTRACT != "banded":
+            # Emit regions already padded to the search kernel's block
+            # multiple: skips the slice-to-N + re-pad round trip over
+            # the [N, R, R] HBM array (3.1 ms at 1080p, device trace).
+            from .pallas.iclk_kernel import search_padding
+            _, npad_s = search_padding(pos0.shape[0])
             regions, base_y, base_x = extract_regions_pallas(
-                img2, pos0, ps, pad, row0=row0)
+                img2, pos0, ps, pad, row0=row0,
+                pad_to=npad_s if use_pallas else None)
         elif on_tpu and can_banded:
             # Column-banded DMA extraction: any resolution (4K+), VMEM
             # holds only one grid column's band.

@@ -179,10 +179,18 @@ def extract_regions_banded(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
 
 def extract_regions_pallas(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
                            pad: int, block: int = 256, row0: int = 0,
-                           interpret: bool = False
+                           interpret: bool = False, pad_to: int = None
                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """[N, Rc, Rc] regions + (base_y, base_x); drop-in for the XLA
-    ``ops.iclk.extract_regions`` at row-pack 1."""
+    ``ops.iclk.extract_regions`` at row-pack 1.
+
+    With ``pad_to`` (a multiple of 128, >= N) the output keeps its
+    padded leading dim ``pad_to`` instead of being sliced back to N —
+    the search kernel consumes the padded array directly, skipping a
+    slice + re-pad round trip over the [N, R, R] HBM array (3.1 ms at
+    1080p per the round-2 device trace).  Dummy rows read in-bounds
+    (clipped base 0) garbage that the search kernel never uses (padded
+    lanes are marked converged)."""
     th, tw = img2.shape
     rc = 2 * ps + 3
     ra = _cdiv(7 + rc, 8) * 8       # aligned slab rows (y0%8 + rc <= ra)
@@ -201,8 +209,15 @@ def extract_regions_pallas(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
     tw_pad = _cdiv(tw, 128) * 128 + 256
     imgp = jnp.pad(img2, ((0, th_pad - th), (0, tw_pad - tw)))
 
-    nb = _cdiv(n, block)
-    npad = nb * block
+    if pad_to is not None:
+        assert pad_to >= n and pad_to % 128 == 0, (pad_to, n)
+        while pad_to % block:
+            block //= 2
+        npad = pad_to
+        nb = npad // block
+    else:
+        nb = _cdiv(n, block)
+        npad = nb * block
     y0 = jnp.pad(base_y, (0, npad - n))
     x0 = jnp.pad(base_x, (0, npad - n))
 
@@ -243,4 +258,6 @@ def extract_regions_pallas(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
         out_shape=jax.ShapeDtypeStruct((npad, rc, rc), jnp.float32),
         interpret=interpret,
     )(y0, x0, imgp)
-    return regions[:n], base_y, base_x
+    if pad_to is None:
+        regions = regions[:n]
+    return regions, base_y, base_x

@@ -328,6 +328,22 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
     conv_ref[0, 0:1, :] = conv
 
 
+def search_padding(n: int, block: int = None) -> Tuple[int, int]:
+    """(block, npad) the search kernel uses for ``n`` patches.
+
+    Exposed so the extraction kernel can emit its output already padded
+    to ``npad`` — otherwise the [N, R, R] regions array pays a full
+    slice-to-N plus re-pad round trip between the two kernels (measured
+    3.1 ms at 1080p in the round-2 device trace, pure waste)."""
+    import os as _os
+
+    if block is None:
+        block = int(_os.environ.get("DIS_TPU_BLOCK", "512"))
+    block = min(block, max(128, 128 * (-(-n // 128))))
+    nb = -(-n // block)
+    return block, nb * block
+
+
 def inverse_search_pallas(
     regions: jnp.ndarray,     # [N, R, R] from ops.iclk.extract_regions
     base_y: jnp.ndarray, base_x: jnp.ndarray,
@@ -346,16 +362,24 @@ def inverse_search_pallas(
     ps = cfg.patch_size
     rr, rc = region_shape(ps)
     assert regions.shape[1:] == (rr, rc), regions.shape
-    n = regions.shape[0]
-    if block is None:
-        block = int(_os.environ.get("DIS_TPU_BLOCK", "512"))
-    block = min(block, max(128, 128 * (-(-n // 128))))
-    nb = -(-n // block)
-    npad = nb * block
+    n = centers.shape[0]
+    block, npad = search_padding(n, block)
+    nb = npad // block
 
     def padn(x, fill=0.0):
         pad_width = [(0, npad - n)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, pad_width, constant_values=fill)
+
+    # Regions may arrive already padded to npad (extraction emits them
+    # that way when the block geometries line up — no HBM round trip).
+    if regions.shape[0] == npad:
+        regions_p = regions
+    elif regions.shape[0] == n:
+        regions_p = padn(regions)
+    else:
+        raise ValueError(
+            f"regions count {regions.shape[0]} matches neither n={n} "
+            f"nor npad={npad}")
 
     pos0 = centers + init_u
     meta = jnp.stack([
@@ -382,14 +406,14 @@ def inverse_search_pallas(
     tdy_b = blk(padn(Tdy).T)
     traw_b = blk(padn(T).T)
     if _REG_LAYOUT == "4d":
-        reg_b = padn(regions).reshape(nb, block, rr, rc).transpose(0, 2, 3, 1)
+        reg_b = regions_p.reshape(nb, block, rr, rc).transpose(0, 2, 3, 1)
     elif _REG_LAYOUT == "mxu":
         # Contract the patch dim against a block-size identity on the
         # MXU instead of a VPU/copy relayout.  Bit-exact: each output
         # element is one x*1 product plus exact zeros (1.0 and 0.0 are
         # exact under the bf16x3 f32-matmul decomposition, and the
         # hi/mid/lo split of x re-sums exactly in the f32 accumulator).
-        lhs = padn(regions).reshape(nb, block, rr * rc)
+        lhs = regions_p.reshape(nb, block, rr * rc)
         eye = jnp.eye(block, dtype=jnp.float32)
         reg_b = jax.lax.dot_general(
             lhs, eye, (((1,), (0,)), ((), ())),
@@ -398,7 +422,7 @@ def inverse_search_pallas(
     else:
         # Plain 2-D transpose, then a major-dim swap whose minor dim
         # (block lanes) stays contiguous; reshapes are free.
-        reg_b = (padn(regions).reshape(npad, rr * rc).T
+        reg_b = (regions_p.reshape(npad, rr * rc).T
                  .reshape(rr * rc, nb, block).transpose(1, 0, 2)
                  .reshape(nb, rr, rc, block))
 

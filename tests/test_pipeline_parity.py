@@ -177,3 +177,28 @@ def test_finest_scale_upsample_path():
     cfg = DISConfig(iterations=4, coarsest_scale=3, finest_scale=1)
     flow = np.asarray(dis_flow(jnp.asarray(i1), jnp.asarray(i2), cfg))
     assert flow.shape == (32, 48, 2)
+
+
+def test_templates_conv_matches_slices():
+    """The MXU patches-conv template route (one one-hot identity conv at
+    HIGHEST precision) must reproduce the strided-slice taps bit-for-bit
+    (it exists to replace ~4.6 ms/frame of slice ops, not to change
+    values)."""
+    import dis_tpu.ops.iclk as iclk_mod
+    from conftest import synthetic_pair
+
+    i1, _ = synthetic_pair(72, 104, shift=(2.0, 1.0), seed=41)
+    lv = construct_pyramid(jnp.asarray(i1), 0, 8)[0]
+    geom = make_grid(lv.width, lv.height, 5)
+    old = iclk_mod._TEMPLATES
+    try:
+        iclk_mod._TEMPLATES = "slices"
+        want = iclk_mod.extract_templates_grid(lv.img, lv.dx, lv.dy, geom, 8, 8)
+        iclk_mod._TEMPLATES = "conv"
+        got = iclk_mod.extract_templates_grid(lv.img, lv.dx, lv.dy, geom, 8, 8)
+    finally:
+        iclk_mod._TEMPLATES = old
+    for name in ("T", "Tdx", "Tdy", "Hinv"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, name)),
+                                      np.asarray(getattr(want, name)),
+                                      err_msg=name)
