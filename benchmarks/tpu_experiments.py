@@ -505,6 +505,30 @@ def bench_glue():
     emit(stage="frame_glue", fps=round(1.0 / dt, 3), ms=round(dt * 1e3, 2))
 
 
+def bench_assemble():
+    """Densify phase-interleave assembly + coarse-init formulations
+    (device-trace follow-ups: assembly ~2.4 ms, init gather 0.64 ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    import dis_tpu.ops.densify as dmod
+    from dis_tpu.ops.grid import make_grid, init_from_coarser_flow
+
+    geom = make_grid(W, PADH, 5)
+    n = geom.num_w * geom.num_h
+    r = np.random.default_rng(0)
+    u = jnp.asarray(r.standard_normal((n, 2)).astype(np.float32))
+    for mode in ("stack", "conv"):
+        dmod._ASSEMBLE = mode
+        fn = jax.jit(lambda uu: dmod.densify(uu, geom, W, PADH, 8, None).sum())
+        emit(stage="assemble", mode=mode, ms=round(timed(fn, u) * 1e3, 3))
+    dmod._ASSEMBLE = os.environ.get("DIS_TPU_ASSEMBLE", "stack")
+
+    fc = jnp.asarray(r.random((PADH // 2, W // 2, 2)).astype(np.float32))
+    fn = jax.jit(lambda f: init_from_coarser_flow(geom, f).sum())
+    emit(stage="init2takes", ms=round(timed(fn, fc) * 1e3, 3))
+
+
 def bench_framex():
     """Just the current-defaults 1080p DIS-fast compat frame."""
     import jax
@@ -693,7 +717,7 @@ STAGES = {"densify": bench_densify, "pyramid": bench_pyramid,
           "block": bench_block, "scales": bench_scales,
           "batch": bench_batch, "refdef": bench_refdef, "frame_pyr": bench_frame_pyr,
           "relayout": bench_relayout, "refine": bench_refine,
-          "warp": bench_warp, "glue": bench_glue, "framex": bench_framex,
+          "warp": bench_warp, "glue": bench_glue, "framex": bench_framex, "assemble": bench_assemble,
           "pyramid_micro": bench_pyramid_micro,
           "extract": bench_extract, "search": bench_search,
           "frame": bench_frame, "banded": bench_banded,

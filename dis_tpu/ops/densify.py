@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -35,6 +36,9 @@ from .grid import GridGeometry
 # timing): steps=2: dilated 71.3 ms / batch 90.7 / phases 1.0 (70x);
 # steps=5: dilated 4.8 / batch 4.3 / phases 4.3.  phases is the default.
 _ALGO = os.environ.get("DIS_TPU_DENSIFY", "phases")
+# Phase-interleave assembly: "stack" (one stack + tiled-dim-splitting
+# reshape) or "conv" (one-hot transposed conv on the MXU, bit-exact).
+_ASSEMBLE = os.environ.get("DIS_TPU_ASSEMBLE", "stack")
 
 
 def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
@@ -169,6 +173,32 @@ def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
                 ph = jnp.pad(ph, ((0, ni_max - rs.shape[0]), (0, 0), (0, 0),
                                   (0, 0)))
             cols.append(ph)
+        if _ASSEMBLE == "conv":
+            # Interleave on the MXU: a one-hot transposed conv places
+            # phase (p, q) at output (i*s+p, j*s+q) exactly (each output
+            # is one 1.0*x product; HIGHEST precision keeps the bf16x3
+            # copy exact).  The stack+reshape assembly's tiled-dim-
+            # splitting reshape bills ~2.4 ms at the 1080p finest scale
+            # in the round-2 device trace.
+            # lhs channels ordered (p, q, ci); kernel tap (s-1-p, s-1-q)
+            # routes phase p,q to output parity (p, q) under
+            # lhs_dilation=s, padding=s-1.
+            ph_all = jnp.stack(cols, axis=0)           # [s, ni, nj, s, c]
+            lhs = ph_all.transpose(0, 3, 4, 1, 2).reshape(
+                1, s * s * c, ni_max, nj_max)
+            w = np.zeros((c, s * s * c, s, s), np.float32)
+            for p in range(s):
+                for q in range(s):
+                    for ci in range(c):
+                        w[ci, (p * s + q) * c + ci, s - 1 - p, s - 1 - q] = 1.0
+            out = lax.conv_general_dilated(
+                lhs, jnp.asarray(w), window_strides=(1, 1),
+                padding=((s - 1, s - 1), (s - 1, s - 1)),
+                lhs_dilation=(s, s),
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                precision=lax.Precision.HIGHEST,
+            )
+            return out[0].transpose(1, 2, 0)[:height, :width]
         full = jnp.stack(cols, axis=1)                # [ni_max, s, nj_max, s, c]
         full = full.reshape(ni_max * s, nj_max * s, c)
         return full[:height, :width]

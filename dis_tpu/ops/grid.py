@@ -53,7 +53,18 @@ def init_from_coarser_flow(geom: GridGeometry, flow_coarse: jnp.ndarray,
                            coarse_row_offset: int = 0) -> jnp.ndarray:
     """Nearest-neighbor init from the coarser scale's dense flow, x2
     (patch_grid.cpp:108-119, quirk Q8). ``flow_coarse`` is [hc, wc, 2];
-    when it is a stripe, ``coarse_row_offset`` is its first global row."""
-    cx = (geom.centers[:, 0] // 2).astype(np.int32)
-    cy = (geom.centers[:, 1] // 2).astype(np.int32) - coarse_row_offset
-    return flow_coarse[cy, cx] * jnp.float32(2.0)
+    when it is a stripe, ``coarse_row_offset`` is its first global row.
+
+    Formulated as two separable 1-D takes (rows, then columns) instead
+    of one [N]-point 2-D gather: the indices are a static outer product
+    of ``num_h`` row picks and ``num_w`` column picks (the centers form
+    a regular lattice), and the 2-D gather bills 0.64 ms at the 1080p
+    finest scale in the round-2 device trace (~num_h + num_w gathered
+    rows vs N).  Pure copies, so bit-identical either way."""
+    cxs = (np.arange(geom.num_w) * geom.steps + geom.offset_w) // 2
+    cys = ((np.arange(geom.iy0, geom.iy0 + geom.num_h) * geom.steps
+            + geom.offset_h) // 2 - coarse_row_offset)
+    rows = jnp.take(flow_coarse, jnp.asarray(cys), axis=0)     # [nh, wc, 2]
+    sub = jnp.take(rows, jnp.asarray(cxs), axis=1)             # [nh, nw, 2]
+    n = geom.num_w * geom.num_h
+    return sub.transpose(1, 0, 2).reshape(n, 2) * jnp.float32(2.0)

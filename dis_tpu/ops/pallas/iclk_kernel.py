@@ -57,8 +57,11 @@ _SAMPLER = os.environ.get("DIS_TPU_SAMPLER", "align2")
 #   mxu — contract the patch dim against a block-size identity on the
 #        MXU (bit-exact; ~0.6 ms of matmul at 1080p vs ~3 ms relayout).
 # Measured on v5e: 2d is ~1 ms SLOWER end-to-end (XLA evidently merges
-# the pair back into a relayout plus an extra copy); 4d stays default.
-_REG_LAYOUT = os.environ.get("DIS_TPU_REG_LAYOUT", "4d")
+# the pair back into a relayout plus an extra copy).  Round-2 honest
+# (optimization_barrier) isolated timing: 4d 0.865 ms, mxu 0.705 ms;
+# end-to-end frame 19.63 vs 19.32 ms — mxu ships as default (bit-exact,
+# tests/test_pallas_iclk.py::test_mxu_region_layout_bitwise_equals_4d).
+_REG_LAYOUT = os.environ.get("DIS_TPU_REG_LAYOUT", "mxu")
 
 # meta row indices (f32 meta array [M_ROWS, B])
 M_IAA, M_IAB, M_IBB = 0, 1, 2          # inverse Hessian entries
