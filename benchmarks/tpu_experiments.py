@@ -472,7 +472,7 @@ def bench_glue():
             ref = out
         emit(stage="resize", mode=mode, ms=round(timed(fn, img) * 1e3, 3),
              max_delta=float(np.abs(out - ref).max()))
-    imod._RESIZE = os.environ.get("DIS_TPU_RESIZE", "slices")
+    imod._RESIZE = os.environ.get("DIS_TPU_RESIZE", "auto")
 
     from dis_tpu.ops.grid import make_grid
     from dis_tpu.ops.pyramid import construct_pyramid
@@ -481,7 +481,7 @@ def bench_glue():
         l1 = construct_pyramid(timg, 0, 8)[0]
         geom = make_grid(l1.width, l1.height, 5)
         outs = {}
-        for mode in ("slices", "conv"):
+        for mode in ("slices", "conv", "stacked3", "rw"):
             imod2._TEMPLATES = mode
             fn = jax.jit(lambda im_, g=geom, l=l1: sum(
                 t.sum() for t in imod2.extract_templates_grid(
@@ -491,8 +491,8 @@ def bench_glue():
             outs[mode] = np.asarray(g2)
             emit(stage="templates", size=f"{w}x{h}", mode=mode,
                  ms=round(timed(fn, l1.img) * 1e3, 3))
-        emit(stage="templates", size=f"{w}x{h}", bit_exact=bool(
-            np.array_equal(outs["slices"], outs["conv"])))
+        emit(stage="templates", size=f"{w}x{h}", bit_exact_all=bool(
+            all(np.array_equal(outs["slices"], o) for o in outs.values())))
     imod2._TEMPLATES = os.environ.get("DIS_TPU_TEMPLATES", "auto")
 
     cfg = DISConfig(iterations=16, patch_size=8, coarsest_scale=3,
@@ -518,7 +518,7 @@ def bench_assemble():
     n = geom.num_w * geom.num_h
     r = np.random.default_rng(0)
     u = jnp.asarray(r.standard_normal((n, 2)).astype(np.float32))
-    for mode in ("stack", "conv"):
+    for mode in ("stack", "conv", "rowconv"):
         dmod._ASSEMBLE = mode
         fn = jax.jit(lambda uu: dmod.densify(uu, geom, W, PADH, 8, None).sum())
         emit(stage="assemble", mode=mode, ms=round(timed(fn, u) * 1e3, 3))

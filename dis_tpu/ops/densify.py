@@ -36,8 +36,15 @@ from .grid import GridGeometry
 # timing): steps=2: dilated 71.3 ms / batch 90.7 / phases 1.0 (70x);
 # steps=5: dilated 4.8 / batch 4.3 / phases 4.3.  phases is the default.
 _ALGO = os.environ.get("DIS_TPU_DENSIFY", "phases")
-# Phase-interleave assembly: "stack" (one stack + tiled-dim-splitting
-# reshape) or "conv" (one-hot transposed conv on the MXU, bit-exact).
+# Phase-interleave assembly.  Isolated v5e numbers (stride-5 1080p,
+# same process): rowconv 2.45 ms (per-phase 1-D lane-dilated row convs,
+# free major-dim row merge), stack 3.61 ms (stack + tiled-dim-splitting
+# reshape), conv 8.03 ms (one-hot transposed conv).  END-TO-END however
+# rowconv LOSES BADLY — bench frame 40.5 vs 56.1 fps (framex 25.8 vs
+# 18.6 ms): the s 1-D dilated convs break XLA's fusion of the phase
+# sums into neighbors, a repeat of the round-1 row-packing lesson
+# (isolated wins lie when they unfuse the graph).  stack stays default;
+# rowconv/conv remain switchable as recorded negatives.
 _ASSEMBLE = os.environ.get("DIS_TPU_ASSEMBLE", "stack")
 
 
@@ -173,6 +180,31 @@ def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
                 ph = jnp.pad(ph, ((0, ni_max - rs.shape[0]), (0, 0), (0, 0),
                                   (0, 0)))
             cols.append(ph)
+        if _ASSEMBLE == "rowconv":
+            # Row phases only: each phase's COLUMN pass runs as a 1-D
+            # lane-dilated conv producing full-width output rows, so the
+            # only interleave left is the row merge [ni, s, W] ->
+            # [ni*s, W] — a major-dims reshape, which is free.  (The
+            # expensive part of the stack assembly is the LANE-dim
+            # (nj, s) merge; this formulation never materializes it.)
+            outs = []
+            for p in range(s):
+                rs = rowsums[p][:, P:P + gw]            # [n_i[p], gw, c]
+                lhs = rs.transpose(2, 0, 1)[:, None]    # [c, 1, n_i, gw]
+                ker = jnp.ones((1, 1, 1, ps), jnp.float32)
+                o = lax.conv_general_dilated(
+                    lhs, ker, window_strides=(1, 1),
+                    padding=((0, 0), (pad_lo_x, pad_hi_x)),
+                    lhs_dilation=(1, s),
+                    dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                )[:, 0]                                 # [c, n_i, W]
+                if o.shape[1] < ni_max:
+                    o = jnp.pad(o, ((0, 0), (0, ni_max - o.shape[1]),
+                                    (0, 0)))
+                outs.append(o)
+            full = jnp.stack(outs, axis=2)              # [c, ni_max, s, W]
+            full = full.reshape(c, ni_max * s, width)
+            return full[:, :height].transpose(1, 2, 0)
         if _ASSEMBLE == "conv":
             # Interleave on the MXU: a one-hot transposed conv places
             # phase (p, q) at output (i*s+p, j*s+q) exactly (each output

@@ -105,6 +105,29 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
     y0 = geom.iy0 * s + geom.offset_h - half + pad - row0
     x0 = geom.offset_w - half + pad
 
+    if _TEMPLATES in ("stacked3", "rw"):
+        # One [3, nh, nw] strided slice (or reduce_window decimation)
+        # per tap instead of three: same copies, one third the op count
+        # (the 3 * ps^2 slices bill ~4.6 ms/frame in the device trace).
+        ye = y0 + (geom.num_h - 1) * s + 1
+        xe = x0 + (geom.num_w - 1) * s + 1
+        p3 = jnp.stack([img, dx, dy])                   # [3, Hp, Wp]
+        taps = []
+        for j in range(ps):
+            for i in range(ps):
+                if _TEMPLATES == "rw":
+                    win = lax.slice(p3, (0, y0 + j, x0 + i),
+                                    (3, ye + j, xe + i))
+                    t = lax.reduce_window(win, jnp.float32(0), lax.add,
+                                          (1, 1, 1), (1, s, s), "VALID")
+                else:
+                    t = lax.slice(p3, (0, y0 + j, x0 + i),
+                                  (3, ye + j, xe + i), (1, s, s))
+                taps.append(t)                          # [3, nh, nw]
+        st = jnp.stack(taps, axis=-1)                   # [3, nh, nw, 64]
+        st = st.transpose(0, 2, 1, 3).reshape(3, n, ps * ps)
+        return _templates_from_taps(st[0], st[1], st[2])
+
     use_conv = (_TEMPLATES == "conv" or
                 (_TEMPLATES == "auto" and jax.default_backend() != "cpu"
                  and n <= _CONV_MAX_PATCHES))

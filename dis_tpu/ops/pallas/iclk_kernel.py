@@ -58,10 +58,13 @@ _SAMPLER = os.environ.get("DIS_TPU_SAMPLER", "align2")
 #        MXU (bit-exact; ~0.6 ms of matmul at 1080p vs ~3 ms relayout).
 # Measured on v5e: 2d is ~1 ms SLOWER end-to-end (XLA evidently merges
 # the pair back into a relayout plus an extra copy).  Round-2 honest
-# (optimization_barrier) isolated timing: 4d 0.865 ms, mxu 0.705 ms;
-# end-to-end frame 19.63 vs 19.32 ms — mxu ships as default (bit-exact,
-# tests/test_pallas_iclk.py::test_mxu_region_layout_bitwise_equals_4d).
-_REG_LAYOUT = os.environ.get("DIS_TPU_REG_LAYOUT", "mxu")
+# (optimization_barrier) isolated timing: 4d 0.865 ms, mxu 0.705 ms and
+# end-to-end frame 19.63 vs 19.32 ms — BUT that mxu build ran the dot
+# at DEFAULT precision (single truncating bf16 pass, not bit-exact on
+# chip; the CPU equality test cannot see it).  With the required
+# HIGHEST precision the mxu route re-measures SLOWER end-to-end
+# (frame 20.36 vs 18.61 ms, same process) — 4d stays the default.
+_REG_LAYOUT = os.environ.get("DIS_TPU_REG_LAYOUT", "4d")
 
 # meta row indices (f32 meta array [M_ROWS, B])
 M_IAA, M_IAB, M_IBB = 0, 1, 2          # inverse Hessian entries
@@ -412,15 +415,19 @@ def inverse_search_pallas(
         reg_b = regions_p.reshape(nb, block, rr, rc).transpose(0, 2, 3, 1)
     elif _REG_LAYOUT == "mxu":
         # Contract the patch dim against a block-size identity on the
-        # MXU instead of a VPU/copy relayout.  Bit-exact: each output
-        # element is one x*1 product plus exact zeros (1.0 and 0.0 are
-        # exact under the bf16x3 f32-matmul decomposition, and the
-        # hi/mid/lo split of x re-sums exactly in the f32 accumulator).
+        # MXU instead of a VPU/copy relayout.  Bit-exact ONLY at
+        # HIGHEST precision (bf16x3 passes: 1.0/0.0 are exact and the
+        # hi/mid/lo split of x re-sums exactly in the f32 accumulator);
+        # the DEFAULT precision lowers to one bf16 pass that truncates
+        # every region value — visible in the round-2 device trace as a
+        # bf16 reshape feeding the dot.  CPU tests cannot catch this
+        # (CPU ignores precision), so the precision here is load-bearing.
         lhs = regions_p.reshape(nb, block, rr * rc)
         eye = jnp.eye(block, dtype=jnp.float32)
         reg_b = jax.lax.dot_general(
             lhs, eye, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         ).reshape(nb, rr, rc, block)
     else:
         # Plain 2-D transpose, then a major-dim swap whose minor dim

@@ -55,3 +55,50 @@ def test_variants_agree_striped():
     for algo in ("batch", "phases"):
         got = _run(algo, u, geom, w, out_h, ps, None, out_row0)
         np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=algo)
+
+
+@pytest.mark.parametrize("assemble", ["conv", "rowconv"])
+@pytest.mark.parametrize("steps", [2, 4, 5])
+def test_phase_assembly_variants_agree(assemble, steps):
+    """DIS_TPU_ASSEMBLE interleave routes (one-hot transposed conv /
+    per-phase 1-D lane-dilated row conv) match the stack+reshape
+    assembly.  conv is exactly equal (pure one-hot copies at HIGHEST
+    precision); rowconv may reassociate the ps-tap column sums."""
+    w, h, ps = 52, 40, 8
+    geom = make_grid(w, h, steps)
+    n = geom.num_w * geom.num_h
+    r = np.random.default_rng(steps)
+    u = jnp.asarray(r.standard_normal((n, 2)).astype(np.float32) * 3)
+    wts = jnp.asarray(r.random(n).astype(np.float32) + 0.1)
+
+    old = densify_mod._ASSEMBLE
+    try:
+        densify_mod._ASSEMBLE = "stack"
+        ref = _run("phases", u, geom, w, h, ps, wts)
+        densify_mod._ASSEMBLE = assemble
+        got = _run("phases", u, geom, w, h, ps, wts)
+    finally:
+        densify_mod._ASSEMBLE = old
+    if assemble == "conv":
+        np.testing.assert_array_equal(got, ref)
+    else:
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_assembly_variants_striped():
+    w, h, ps, steps = 48, 96, 8, 2
+    geom = make_grid(w, h, steps, iy_range=(10, 30))
+    n = geom.num_w * geom.num_h
+    r = np.random.default_rng(9)
+    u = jnp.asarray(r.standard_normal((n, 2)).astype(np.float32))
+    out_row0, out_h = 24, 32
+    old = densify_mod._ASSEMBLE
+    try:
+        densify_mod._ASSEMBLE = "stack"
+        ref = _run("phases", u, geom, w, out_h, ps, None, out_row0)
+        for assemble in ("conv", "rowconv"):
+            densify_mod._ASSEMBLE = assemble
+            got = _run("phases", u, geom, w, out_h, ps, None, out_row0)
+            np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=assemble)
+    finally:
+        densify_mod._ASSEMBLE = old

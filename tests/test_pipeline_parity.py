@@ -194,11 +194,15 @@ def test_templates_conv_matches_slices():
     try:
         iclk_mod._TEMPLATES = "slices"
         want = iclk_mod.extract_templates_grid(lv.img, lv.dx, lv.dy, geom, 8, 8)
-        iclk_mod._TEMPLATES = "conv"
-        got = iclk_mod.extract_templates_grid(lv.img, lv.dx, lv.dy, geom, 8, 8)
+        gots = {}
+        for mode in ("conv", "stacked3", "rw"):
+            iclk_mod._TEMPLATES = mode
+            gots[mode] = iclk_mod.extract_templates_grid(
+                lv.img, lv.dx, lv.dy, geom, 8, 8)
     finally:
         iclk_mod._TEMPLATES = old
-    for name in ("T", "Tdx", "Tdy", "Hinv"):
-        np.testing.assert_array_equal(np.asarray(getattr(got, name)),
-                                      np.asarray(getattr(want, name)),
-                                      err_msg=name)
+    for mode, got in gots.items():
+        for name in ("T", "Tdx", "Tdy", "Hinv"):
+            np.testing.assert_array_equal(np.asarray(getattr(got, name)),
+                                          np.asarray(getattr(want, name)),
+                                          err_msg=f"{mode}:{name}")
