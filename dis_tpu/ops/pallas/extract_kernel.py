@@ -168,12 +168,18 @@ def extract_regions_banded(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    regions = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, rc, rc), jnp.float32),
-        interpret=interpret,
-    )(bx0, byx, imgp)
+    @jax.custom_batching.sequential_vmap
+    def run(bx0_, byx_, imgp_):
+        # Under jax.vmap (batched pairs) lower to a lax.map: the
+        # ANY-space image BlockSpec cannot be batched by Mosaic.
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n, rc, rc), jnp.float32),
+            interpret=interpret,
+        )(bx0_, byx_, imgp_)
+
+    regions = run(bx0, byx, imgp)
     return regions, base_y, base_x
 
 
@@ -252,12 +258,17 @@ def extract_regions_pallas(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
         out_specs=pl.BlockSpec((block, rc, rc), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    regions = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((npad, rc, rc), jnp.float32),
-        interpret=interpret,
-    )(y0, x0, imgp)
+    @jax.custom_batching.sequential_vmap
+    def run(y0_, x0_, imgp_):
+        # sequential under jax.vmap (see extract_regions_banded).
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((npad, rc, rc), jnp.float32),
+            interpret=interpret,
+        )(y0_, x0_, imgp_)
+
+    regions = run(y0, x0, imgp)
     if pad_to is None:
         regions = regions[:n]
     return regions, base_y, base_x

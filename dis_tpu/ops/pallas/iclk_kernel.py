@@ -480,25 +480,31 @@ def inverse_search_pallas(
             tn_r = None
         kernel(meta_r, tdx_r, tdy_r, reg_r, traw_r, u_r, q_r, c_r, tn_ref=tn_r)
 
-    u_b, q_b, conv_b = pl.pallas_call(
-        kern,
-        grid=(nb,),
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, 2, block), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, 2, block), jnp.float32),
-            jax.ShapeDtypeStruct((nb, ps * ps, block), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
-        ),
-        interpret=interpret,
-    )(*args)
+    @jax.custom_batching.sequential_vmap
+    def run(*args_):
+        # sequential under jax.vmap (batched pairs run the kernel once
+        # per element via lax.map; Mosaic cannot batch the grid).
+        return pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, 2, block), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb, 2, block), jnp.float32),
+                jax.ShapeDtypeStruct((nb, ps * ps, block), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+            ),
+            interpret=interpret,
+        )(*args_)
+
+    u_b, q_b, conv_b = run(*args)
 
     u = u_b.transpose(0, 2, 1).reshape(npad, 2)[:n]
     q = q_b.transpose(0, 2, 1).reshape(npad, ps * ps)[:n]

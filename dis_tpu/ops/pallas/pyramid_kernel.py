@@ -180,29 +180,38 @@ def pyramid_level_pallas(cur: jnp.ndarray, p: int, base: bool,
         _level_kernel, base=base, h=h, w=w, p=p,
         obh=obh, sh=sh, wp=wp, wout=wout)
 
-    out_img, out_dx, out_dy = pl.pallas_call(
-        kern,
-        grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            pl.BlockSpec((obh, wout), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((obh, wout), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((obh, wout), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb * obh, wout), jnp.float32),
-            jax.ShapeDtypeStruct((nb * obh, wout), jnp.float32),
-            jax.ShapeDtypeStruct((nb * obh, wout), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((sh, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(padded)
+    # sequential_vmap: under jax.vmap (batched pairs, suite config 3b /
+    # parallel.batch) the call lowers to a lax.map over batch elements —
+    # the ANY-space whole-image BlockSpec cannot be batched directly
+    # (Mosaic rejects non-trivial blocking there; caught on chip, CPU
+    # interpret tests don't exercise the restriction).
+    @jax.custom_batching.sequential_vmap
+    def run(padded_in):
+        return pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(
+                pl.BlockSpec((obh, wout), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((obh, wout), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((obh, wout), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb * obh, wout), jnp.float32),
+                jax.ShapeDtypeStruct((nb * obh, wout), jnp.float32),
+                jax.ShapeDtypeStruct((nb * obh, wout), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((sh, wp), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(padded_in)
+
+    out_img, out_dx, out_dy = run(padded)
     return out_img[:hout], out_dx[:hout], out_dy[:hout]
 
 
