@@ -138,3 +138,27 @@ def test_sequence_sharded_matches_serial():
             jnp.asarray(clip[t]), jnp.asarray(clip[t + 1]), CFG))
         np.testing.assert_allclose(got[t], want, atol=1e-3)
     assert np.abs(got[7]).max() == 0.0
+
+
+@pytest.mark.parametrize("mode", ["compat", "fixed"])
+def test_vmap_pipeline_matches_per_element(mode):
+    """jax.vmap over the full Pallas pipeline (single-chip batched
+    pairs, suite config 3b) must equal per-element runs.  The Pallas
+    kernels lower to a lax.map under vmap (sequential_vmap) because
+    Mosaic cannot batch their ANY-space image BlockSpecs — a failure
+    mode only visible on real hardware, so the lowering rule itself is
+    what this test locks in."""
+    from dis_tpu.models.dis import dis_flow_padded
+
+    cfg = DISConfig(iterations=5, coarsest_scale=2, patch_overlap=0.5,
+                    kernel="pallas", mode=mode, early_exit=False)
+    r = np.random.default_rng(3)
+    a = jnp.asarray((r.random((2, 48, 64)) * 255).astype(np.float32))
+    b = jnp.asarray((r.random((2, 48, 64)) * 255).astype(np.float32))
+
+    def f(x, y):
+        return dis_flow_padded(x, y, cfg)
+
+    out = np.asarray(jax.vmap(f)(a, b))
+    ref = np.stack([np.asarray(f(a[i], b[i])) for i in range(2)])
+    np.testing.assert_array_equal(out, ref)
