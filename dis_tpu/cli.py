@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default=None,
                    help="output dir (default OF_<folder>, like the reference)")
     p.add_argument("--no-early-exit", action="store_true")
+    p.add_argument("--batch", type=int, default=1, metavar="N",
+                   help="process N consecutive frame pairs per device "
+                        "dispatch (vmapped pipeline; amortizes the "
+                        "coarse-scale fixed costs — parallel.batch is "
+                        "the multi-chip version of the same axis)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--json-log", default=None,
@@ -152,23 +157,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     epes = []
     times = []
     rc = 0
-    for img_i in range(args.start_num_img, args.end_num_img):
-        first = os.path.join(args.folder, f"frame_{img_i:04d}.png")
-        second = os.path.join(args.folder, f"frame_{img_i + 1:04d}.png")
-        print(f"start {first}")
-        try:
-            i1 = uio.imread_gray(first).astype(np.float32)
-            i2 = uio.imread_gray(second).astype(np.float32)
-        except FileNotFoundError:
-            print("No image data")
-            rc = 1
-            break
-        t0 = time.perf_counter()
-        flow = np.asarray(
-            jax.block_until_ready(flow_fn(jnp.asarray(i1), jnp.asarray(i2))))
-        dt = time.perf_counter() - t0
-        times.append(dt)
 
+    def emit_pair(img_i, first, i1, i2, flow, dt):
+        """Per-pair output: colorized PNG, optional overlays/.flo/EPE,
+        the reference's finish line.  Shared by the serial and batched
+        loops so --batch changes only the dispatch, not the outputs."""
+        times.append(dt)
         dst = color.draw_optical_flow(flow)
         base = f"frame_{img_i:04d}"
         uio.imwrite(os.path.join(out_dir, base + ".png"), dst)
@@ -193,6 +187,71 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f.write(json.dumps(rec) + "\n")
         print(f"finish {first} ({dt:.3f}s"
               + (f", EPE {rec['epe']:.3f}" if "epe" in rec else "") + ")")
+
+    def read_frame(img_i):
+        return uio.imread_gray(
+            os.path.join(args.folder, f"frame_{img_i:04d}.png")
+        ).astype(np.float32)
+
+    if args.batch > 1:
+        # Batched dispatch: N consecutive pairs per device program
+        # (pairs (i, i+1) .. (i+N-1, i+N) share frames, so one frame
+        # read feeds two pairs).  Short tail chunks repeat the last
+        # pair up to N to keep a single compiled shape; the duplicate
+        # outputs are discarded.
+        bsz = args.batch
+        vflow_fn = jax.jit(jax.vmap(lambda a, b: dis_flow(a, b, cfg)))
+        if checks.enabled():
+            vflow_fn = checks.checked(vflow_fn)
+        pair_ids = list(range(args.start_num_img, args.end_num_img))
+        pos = 0
+        while pos < len(pair_ids):
+            chunk = pair_ids[pos:pos + bsz]
+            pos += bsz
+            frames = {}
+            kept = []
+            for img_i in chunk:
+                print(f"start {args.folder}/frame_{img_i:04d}.png")
+                try:
+                    for j in (img_i, img_i + 1):
+                        if j not in frames:
+                            frames[j] = read_frame(j)
+                    kept.append(img_i)
+                except FileNotFoundError:
+                    print("No image data")
+                    rc = 1
+                    break
+            if not kept:
+                break
+            a = np.stack([frames[i] for i in kept]
+                         + [frames[kept[-1]]] * (bsz - len(kept)))
+            b = np.stack([frames[i + 1] for i in kept]
+                         + [frames[kept[-1] + 1]] * (bsz - len(kept)))
+            t0 = time.perf_counter()
+            flows = np.asarray(jax.block_until_ready(
+                vflow_fn(jnp.asarray(a), jnp.asarray(b))))
+            dt = (time.perf_counter() - t0) / len(kept)
+            for k, img_i in enumerate(kept):
+                emit_pair(img_i, f"{args.folder}/frame_{img_i:04d}.png",
+                          frames[img_i], frames[img_i + 1], flows[k], dt)
+            if rc:
+                break
+    else:
+        for img_i in range(args.start_num_img, args.end_num_img):
+            first = os.path.join(args.folder, f"frame_{img_i:04d}.png")
+            print(f"start {first}")
+            try:
+                i1 = read_frame(img_i)
+                i2 = read_frame(img_i + 1)
+            except FileNotFoundError:
+                print("No image data")
+                rc = 1
+                break
+            t0 = time.perf_counter()
+            flow = np.asarray(jax.block_until_ready(
+                flow_fn(jnp.asarray(i1), jnp.asarray(i2))))
+            dt = time.perf_counter() - t0
+            emit_pair(img_i, first, i1, i2, flow, dt)
 
     if args.profile_dir:
         jax.profiler.stop_trace()

@@ -136,3 +136,35 @@ def test_cli_arity_accepted_counts(tmp_path, capsys, monkeypatch):
     assert main(["no_such_folder", "1", "2"]) == 1
     assert "No image data" in capsys.readouterr().out
     assert main([]) == 1  # defaults: folder alley_1, also missing
+
+
+def test_cli_batched_matches_serial(tmp_path):
+    """--batch N must change only the dispatch (vmapped pairs), not the
+    outputs: .flo files from a batched run equal the serial run's,
+    including a tail chunk shorter than N (4 frames, 3 pairs, N=2)."""
+    from PIL import Image
+    from dis_tpu.cli import main
+    from dis_tpu.utils.flo import load_flo
+    from scipy.signal import convolve2d
+
+    seq = tmp_path / "seq"
+    seq.mkdir()
+    r = np.random.default_rng(7)
+    big = (r.random((64, 80)) * 255).astype(np.float32)
+    k = np.ones((5, 5), np.float32) / 25
+    big = convolve2d(big, k, "same", "symm")
+    for t in range(4):
+        fr = np.roll(big, shift=-t, axis=1)[:48, :64]
+        Image.fromarray(np.clip(fr, 0, 255).astype(np.uint8)).save(
+            str(seq / f"frame_{t+1:04d}.png"))
+
+    base = [str(seq), "1", "4", "6", "8", "2", "0", "0.5", "1", "0",
+            "--mode", "fixed", "--save-flo"]
+    out_s = tmp_path / "serial"
+    out_b = tmp_path / "batched"
+    assert main(base + ["--out-dir", str(out_s)]) == 0
+    assert main(base + ["--out-dir", str(out_b), "--batch", "2"]) == 0
+    for t in (1, 2, 3):
+        fs = load_flo(str(out_s / f"frame_{t:04d}.flo"))
+        fb = load_flo(str(out_b / f"frame_{t:04d}.flo"))
+        np.testing.assert_array_equal(fb, fs)
