@@ -382,20 +382,22 @@ def bench_batch():
     cfg = DISConfig(iterations=16, patch_size=8, coarsest_scale=3,
                     finest_scale=0, patch_overlap=0.3, mode="compat",
                     early_exit=False)
-    for bsz in (1, 2, 4):
-        i1 = jnp.stack([jnp.asarray(synth(PADH, W, 2 * i + 1))
-                        for i in range(bsz)])
-        i2 = jnp.stack([jnp.asarray(synth(PADH, W, 2 * i + 2))
-                        for i in range(bsz)])
-        vf = batched_flow_fn(cfg)
-        fn = jax.jit(lambda a, b: vf(a, b).sum())
-        try:
-            dt = timed(fn, i1, i2, chain=4)
-            emit(stage="batch", batch=bsz,
-                 pairs_per_sec=round(bsz / dt, 3),
-                 ms_per_pair=round(dt / bsz * 1e3, 2))
-        except Exception as e:
-            emit(stage="batch", batch=bsz, error=str(e)[:200])
+    for (h, w) in ((PADH, W), (440, 1024)):   # 1080p, Sintel-size
+        for bsz in (1, 2, 4):
+            i1 = jnp.stack([jnp.asarray(synth(h, w, 2 * i + 1))
+                            for i in range(bsz)])
+            i2 = jnp.stack([jnp.asarray(synth(h, w, 2 * i + 2))
+                            for i in range(bsz)])
+            vf = batched_flow_fn(cfg)
+            fn = jax.jit(lambda a, b: vf(a, b).sum())
+            try:
+                dt = timed(fn, i1, i2, chain=4)
+                emit(stage="batch", size=f"{w}x{h}", batch=bsz,
+                     pairs_per_sec=round(bsz / dt, 3),
+                     ms_per_pair=round(dt / bsz * 1e3, 2))
+            except Exception as e:
+                emit(stage="batch", size=f"{w}x{h}", batch=bsz,
+                     error=str(e)[:200])
 
 
 def bench_refine():

@@ -480,13 +480,10 @@ def inverse_search_pallas(
             tn_r = None
         kernel(meta_r, tdx_r, tdy_r, reg_r, traw_r, u_r, q_r, c_r, tn_ref=tn_r)
 
-    @jax.custom_batching.sequential_vmap
-    def run(*args_):
-        # sequential under jax.vmap (batched pairs run the kernel once
-        # per element via lax.map; Mosaic cannot batch the grid).
+    def make_call(nblocks):
         return pl.pallas_call(
             kern,
-            grid=(nb,),
+            grid=(nblocks,),
             in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, 2, block), lambda i: (i, 0, 0),
@@ -497,12 +494,33 @@ def inverse_search_pallas(
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((nb, 2, block), jnp.float32),
-                jax.ShapeDtypeStruct((nb, ps * ps, block), jnp.float32),
-                jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+                jax.ShapeDtypeStruct((nblocks, 2, block), jnp.float32),
+                jax.ShapeDtypeStruct((nblocks, ps * ps, block), jnp.float32),
+                jax.ShapeDtypeStruct((nblocks, 1, block), jnp.float32),
             ),
             interpret=interpret,
-        )(*args_)
+        )
+
+    @jax.custom_batching.custom_vmap
+    def run(*args_):
+        return make_call(nb)(*args_)
+
+    @run.def_vmap
+    def _run_vmap(axis_size, in_batched, *bargs):
+        # Patch blocks are fully independent, so a batch of pairs folds
+        # into the block grid: ONE kernel launch for all pairs instead
+        # of the lax.map a sequential_vmap would emit (which serializes
+        # the kernels per pair — measured 20 -> 24 ms/pair at 1080p).
+        # Per-block outputs are bit-identical to per-pair runs.
+        def fold(x, b):
+            if not b:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            return x.reshape((axis_size * x.shape[1],) + x.shape[2:])
+
+        outs = make_call(axis_size * nb)(
+            *(fold(x, b) for x, b in zip(bargs, in_batched)))
+        outs = tuple(o.reshape((axis_size, nb) + o.shape[1:]) for o in outs)
+        return outs, (True, True, True)
 
     u_b, q_b, conv_b = run(*args)
 

@@ -65,3 +65,30 @@ def test_band_width_guard():
 
     assert band_width_ok(8, 60.0)        # default DIS chain bound
     assert not band_width_ok(8, 130.0)   # too wide for the 384 band
+
+
+def test_extraction_kernel_batched_vmap(rng):
+    """jax.vmap over the extraction kernel must equal per-element runs
+    bitwise.  Locks in the custom_vmap rule: the batch folds into the
+    kernel grid (pair-major, image DMA'd to VMEM scratch per pair)
+    instead of a lax.map that re-copies the regions buffer."""
+    import jax
+
+    ps, pad = 8, 8
+    imgs = jnp.asarray((rng.random((2, 72, 200)) * 255).astype(np.float32))
+    n = 300
+    pos0 = jnp.asarray(np.stack([
+        rng.random((2, n)) * 190 - 4,
+        rng.random((2, n)) * 62 - 4,
+    ], -1).astype(np.float32))
+
+    def f(img, p):
+        return extract_regions_pallas(img, p, ps, pad, block=128,
+                                      interpret=True)
+
+    got, by, bx = jax.vmap(f)(imgs, pos0)
+    for i in range(2):
+        want, by_w, bx_w = f(imgs[i], pos0[i])
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(by[i]), np.asarray(by_w))
+        np.testing.assert_array_equal(np.asarray(bx[i]), np.asarray(bx_w))

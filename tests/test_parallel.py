@@ -143,11 +143,14 @@ def test_sequence_sharded_matches_serial():
 @pytest.mark.parametrize("mode", ["compat", "fixed"])
 def test_vmap_pipeline_matches_per_element(mode):
     """jax.vmap over the full Pallas pipeline (single-chip batched
-    pairs, suite config 3b) must equal per-element runs.  The Pallas
-    kernels lower to a lax.map under vmap (sequential_vmap) because
-    Mosaic cannot batch their ANY-space image BlockSpecs — a failure
-    mode only visible on real hardware, so the lowering rule itself is
-    what this test locks in."""
+    pairs, suite config 3b) must equal per-element runs bitwise.  The
+    custom vmap rules locked in here: the search kernel FOLDS the pair
+    batch into its block grid (independent patch blocks, one launch for
+    all pairs) and the whole-image extraction kernel runs a pair-major
+    batched grid with a per-pair image DMA (a sequential lax.map
+    re-copies the [B, N, R, R] regions buffer every iteration —
+    measured as the whole cost of the round-2 batch regression).  Only
+    the column-banded 4K extraction stays sequential under vmap."""
     from dis_tpu.models.dis import dis_flow_padded
 
     cfg = DISConfig(iterations=5, coarsest_scale=2, patch_overlap=0.5,

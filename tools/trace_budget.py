@@ -29,7 +29,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def capture(trace_dir: str, frames: int = 3) -> None:
+def capture(trace_dir: str, frames: int = 3, batch: int = 1) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -40,9 +40,19 @@ def capture(trace_dir: str, frames: int = 3) -> None:
     cfg = DISConfig(iterations=16, patch_size=8, coarsest_scale=3,
                     finest_scale=0, patch_overlap=0.3, mode="compat",
                     early_exit=False)
-    i1 = jnp.asarray(synth(1088, 1920, 1))
-    i2 = jnp.asarray(synth(1088, 1920, 2))
-    fn = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg).sum())
+    if batch > 1:
+        # vmapped pipeline (the --batch CLI / suite config-3b shape);
+        # per-op times in the summary are per DISPATCH (batch pairs).
+        i1 = jnp.stack([jnp.asarray(synth(1088, 1920, 2 * i + 1))
+                        for i in range(batch)])
+        i2 = jnp.stack([jnp.asarray(synth(1088, 1920, 2 * i + 2))
+                        for i in range(batch)])
+        fn = jax.jit(lambda a, b: jax.vmap(
+            lambda x, y: dis_flow_padded(x, y, cfg))(a, b).sum())
+    else:
+        i1 = jnp.asarray(synth(1088, 1920, 1))
+        i2 = jnp.asarray(synth(1088, 1920, 2))
+        fn = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg).sum())
     float(fn(i1, i2))  # compile + warm outside the trace
     import jax.profiler
 
@@ -91,10 +101,12 @@ def main():
                     help="existing trace dir (skip capture)")
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="trace the vmapped batched pipeline instead")
     args = ap.parse_args()
     d = args.trace or "/tmp/dis_tpu_trace"
     if args.trace is None:
-        capture(d, args.frames)
+        capture(d, args.frames, args.batch)
     summarize(d, args.frames, args.top)
 
 
