@@ -47,6 +47,42 @@ def _sample(tex: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
                            ).astype(np.float32)
 
 
+def _upsample(coarse: np.ndarray, h: int, w: int) -> np.ndarray:
+    from scipy.ndimage import zoom as _zoom
+
+    up = _zoom(coarse, ((h + 2) / coarse.shape[0],
+                        (w + 2) / coarse.shape[1]),
+               order=3, mode="nearest")
+    return up[:h, :w]
+
+
+def _natural_texture(h: int, w: int, seed: int) -> np.ndarray:
+    """Natural-image-statistics texture: multi-octave 1/f noise blended
+    with piecewise-flat regions (quantized coarse field).  Unlike
+    ``_texture`` (uniform-frequency smoothed noise, gradients
+    everywhere), this has sparse gradients, step edges, and
+    aperture-problem surfaces — the failure modes realistic imagery
+    exposes in a local method.  Intensity in [0, 255]."""
+    r = np.random.default_rng(seed)
+    img = np.zeros((h, w), np.float64)
+    amp = 1.0
+    for wavelength in (64, 32, 16, 8, 4):
+        ch = max(2, -(-h // wavelength) + 1)
+        cw = max(2, -(-w // wavelength) + 1)
+        img += amp * _upsample(r.random((ch, cw)), h, w)
+        amp *= 0.5
+    img /= img.max()
+    # Piecewise-flat overlay: a very coarse field quantized to 4 levels
+    # (textureless interiors + strong step edges).
+    flat = _upsample(r.random((max(2, h // 48) + 1,
+                               max(2, w // 48) + 1)), h, w)
+    flat = np.floor(np.clip(flat, 0.0, 0.999) * 4) / 3.0
+    img = 0.55 * img + 0.45 * flat
+    img -= img.min()
+    img /= max(img.max(), 1e-9)
+    return (img * 255.0).astype(np.float32)
+
+
 def _affine_pair(h: int, w: int, A: np.ndarray, t: np.ndarray,
                  seed: int) -> Pair:
     """Pair under the affine warp W(x) = c + A (x - c) + t (c = frame
@@ -136,16 +172,14 @@ def discontinuous(h: int, w: int, bg_shift=(1.0, 0.0), fg_shift=(-2.0, 2.0),
     return i1, i2, flow, ~(occluded | band)
 
 
-def smooth_warp(h: int, w: int, amp: float = 2.0, periods: float = 1.5,
-                seed: int = 5) -> Pair:
-    """Nonrigid low-frequency sinusoidal flow field ("natural" warp).
+def _warped_pair(tex: np.ndarray, h: int, w: int, amp: float,
+                 periods: float, margin: int) -> Pair:
+    """Nonrigid low-frequency sinusoidal flow over ``tex``.
 
     The forward flow u is prescribed analytically; I2 is built by
     inverting x + u(x) = y with a fixed-point iteration so that
     I2(x + u(x)) = I1(x) holds to high accuracy.
     """
-    margin = 32
-    tex = _texture(h + 2 * margin, w + 2 * margin, seed)
     i1 = tex[margin:margin + h, margin:margin + w].copy()
 
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
@@ -171,6 +205,27 @@ def smooth_warp(h: int, w: int, amp: float = 2.0, periods: float = 1.5,
     return i1, i2, flow, ok
 
 
+def smooth_warp(h: int, w: int, amp: float = 2.0, periods: float = 1.5,
+                seed: int = 5) -> Pair:
+    margin = 32
+    return _warped_pair(_texture(h + 2 * margin, w + 2 * margin, seed),
+                        h, w, amp, periods, margin)
+
+
+def natural_warp(h: int, w: int, amp: float = 2.0, periods: float = 1.5,
+                 seed: int = 6) -> Pair:
+    """The smooth nonrigid warp over a NATURAL-statistics texture (1/f
+    octaves + piecewise-flat regions): sparse gradients, step edges and
+    textureless interiors — the round-1 VERDICT's "textured
+    natural-like generator" where local-method divergence actually
+    shows (flat regions carry no constraint; densification and the
+    coarse-to-fine prior must fill them)."""
+    margin = 32
+    return _warped_pair(
+        _natural_texture(h + 2 * margin, w + 2 * margin, seed),
+        h, w, amp, periods, margin)
+
+
 FAMILIES: Dict[str, callable] = {
     "translation": translation,
     "rotation": rotation,
@@ -178,6 +233,7 @@ FAMILIES: Dict[str, callable] = {
     "shear": shear,
     "discontinuous": discontinuous,
     "smooth_warp": smooth_warp,
+    "natural_warp": natural_warp,
 }
 
 

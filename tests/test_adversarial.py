@@ -27,6 +27,10 @@ EPE_CEILING = {
     "shear": 0.45,
     "discontinuous": 0.60,
     "smooth_warp": 0.60,
+    # Flat regions carry no local constraint (aperture problem): compat
+    # mode's uniform densification weights fill them poorly (0.85
+    # measured); fixed mode's residual-adaptive weights halve it (0.45).
+    "natural_warp": 1.00,
 }
 
 
