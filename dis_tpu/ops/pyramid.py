@@ -16,6 +16,13 @@ import jax.numpy as jnp
 from . import image as im
 
 
+# Largest input (pixels) routed to the Pallas level kernel in "auto"
+# mode: ~1080p and below.  The 4K-size kernel crashes the TPU compiler
+# (bisected; see construct_pyramid_auto docstring) and its 1080p win is
+# only ~0.2 ms, so larger frames take the bit-identical XLA recipe.
+_PALLAS_PYRAMID_MAX_PIXELS = 1088 * 1920
+
+
 class PyramidLevel(NamedTuple):
     img: jnp.ndarray   # [h + 2p, w + 2p] replicate-padded magnitude image
     dx: jnp.ndarray    # [h + 2p, w + 2p] zero-padded Sobel d/dx
@@ -36,19 +43,29 @@ def construct_pyramid_auto(img: jnp.ndarray, coarsest_scale: int,
     ``DIS_TPU_PYRAMID`` (auto|pallas|xla) overrides the choice for A/B
     measurement; chip numbers are within run-to-run noise of each other
     (ROOFLINE.md), so ``auto`` follows the measured winner per size.
+
+    Frames beyond ~1080p fall back to the XLA recipe in ``auto`` mode:
+    the 4K-size level kernel crashes the TPU compiler (the remote
+    compile helper exits 1 — reproduced and bisected to this kernel;
+    previously misattributed to infra in PERF_NOTES), and the kernel's
+    whole win at 1080p is ~0.2 ms, so there is nothing to chase above
+    the gate.  With the XLA pyramid the 4K frame runs at 12.1 fps
+    (82.9 ms, banded extraction path).
     """
     import os
 
     import jax
 
     mode = os.environ.get("DIS_TPU_PYRAMID", "auto")
+    pallas_ok = img.shape[0] * img.shape[1] <= _PALLAS_PYRAMID_MAX_PIXELS
     if mode == "xla":
         use_pallas = False
     elif mode == "pallas":
         use_pallas = True
     else:
-        use_pallas = kernel == "pallas" or (
-            kernel == "auto" and jax.default_backend() != "cpu")
+        use_pallas = pallas_ok and (
+            kernel == "pallas" or (
+                kernel == "auto" and jax.default_backend() != "cpu"))
     return construct_pyramid(img, coarsest_scale, img_padding,
                              use_pallas=use_pallas,
                              interpret=jax.default_backend() == "cpu")

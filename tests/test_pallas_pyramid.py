@@ -79,3 +79,32 @@ def test_construct_pyramid_pallas_chain():
                                       err_msg=f"dx scale {s}")
         np.testing.assert_array_equal(np.asarray(g.dy), np.asarray(r.dy),
                                       err_msg=f"dy scale {s}")
+
+
+def test_auto_mode_size_gate(monkeypatch):
+    """``auto`` routes frames above ~1080p to the XLA recipe: the
+    4K-size Pallas level kernel crashes the TPU compiler (bisected;
+    see construct_pyramid_auto docstring), so the gate is a
+    correctness requirement, not a tuning choice."""
+    from dis_tpu.ops import pyramid as pyr
+
+    monkeypatch.delenv("DIS_TPU_PYRAMID", raising=False)
+    calls = {}
+    orig = pyr.construct_pyramid
+
+    def spy(img, coarsest, pad, use_pallas=False, interpret=False):
+        calls["use_pallas"] = use_pallas
+        return orig(img, coarsest, pad, use_pallas=False,
+                    interpret=interpret)
+
+    monkeypatch.setattr(pyr, "construct_pyramid", spy)
+
+    small = jnp.zeros((1080, 1920), jnp.float32)
+    big = jnp.zeros((2176, 3840), jnp.float32)
+    # On the CPU test backend auto never picks Pallas; force the
+    # decision logic by asking for kernel="pallas" (auto honors the
+    # size gate even then).
+    pyr.construct_pyramid_auto(small, 3, 8, kernel="pallas")
+    assert calls["use_pallas"] is True
+    pyr.construct_pyramid_auto(big, 3, 8, kernel="pallas")
+    assert calls["use_pallas"] is False
