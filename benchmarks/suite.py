@@ -48,7 +48,8 @@ def synth(h, w, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None,
-                    help="also append the JSON records to this file")
+                    help="also write the JSON records to this file "
+                         "(overwrites)")
     args = ap.parse_args()
 
     import jax

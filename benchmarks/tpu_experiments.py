@@ -466,15 +466,19 @@ def bench_glue():
 
     img = jnp.asarray(synth(PADH, W))
     ref = None
+    saved_resize = os.environ.get("DIS_TPU_RESIZE")
     for mode in ("reshape", "slices", "window"):
-        imod._RESIZE = mode
+        os.environ["DIS_TPU_RESIZE"] = mode   # read per call by resize_half
         fn = jax.jit(lambda x: imod.resize_half(x).sum())
         out = np.asarray(jax.jit(imod.resize_half)(img))
         if ref is None:
             ref = out
         emit(stage="resize", mode=mode, ms=round(timed(fn, img) * 1e3, 3),
              max_delta=float(np.abs(out - ref).max()))
-    imod._RESIZE = os.environ.get("DIS_TPU_RESIZE", "auto")
+    if saved_resize is None:
+        os.environ.pop("DIS_TPU_RESIZE", None)
+    else:
+        os.environ["DIS_TPU_RESIZE"] = saved_resize
 
     from dis_tpu.ops.grid import make_grid
     from dis_tpu.ops.pyramid import construct_pyramid

@@ -163,7 +163,6 @@ def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
         nj_max = max(n_j)
         cols = []
         for p in range(s):
-            lo, hi = wnd(p, pad_lo_y)
             rs = rowsums[p]
             row_phases = []
             for q in range(s):

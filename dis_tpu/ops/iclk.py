@@ -38,9 +38,10 @@ from ..config import DISConfig
 # 3*ps^2 taps (bit-identical on chip, one-hot identity filter at
 # HIGHEST precision); "slices" = 3*ps^2 strided slices.  Measured on
 # v5e at the 1080p finest scale: slices 1.53 ms, conv 5.64 ms (the
-# stride-5 HIGHEST-precision conv is implicit-GEMM-bound) — "auto"
-# therefore keeps slices at large grids and uses conv only for small
-# grids where per-slice op overhead dominates (see _CONV_MAX_PATCHES).
+# stride-5 HIGHEST-precision conv is implicit-GEMM-bound).  Conv wins
+# only at mid-size grids (0.30 vs 0.89 ms at 480x272) and that never
+# paid off end-to-end, so _CONV_MAX_PATCHES defaults to 0: "auto"
+# ALWAYS takes slices unless DIS_TPU_TEMPLATES_CONV_MAX is raised.
 _TEMPLATES = _os.environ.get("DIS_TPU_TEMPLATES", "auto")
 _CONV_MAX_PATCHES = int(_os.environ.get("DIS_TPU_TEMPLATES_CONV_MAX", "0"))
 
@@ -445,15 +446,14 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
         can_banded = (_EXTRACT in ("auto", "banded") and geom is not None
                       and init_bound is not None
                       and band_width_ok(ps, init_bound))
-        if on_tpu and can_image and _EXTRACT != "banded":
+        if on_tpu and can_image:
             # Emit regions already padded to the search kernel's block
             # multiple: skips the slice-to-N + re-pad round trip over
             # the [N, R, R] HBM array (3.1 ms at 1080p, device trace).
             from .pallas.iclk_kernel import search_padding
             _, npad_s = search_padding(pos0.shape[0])
             regions, base_y, base_x = extract_regions_pallas(
-                img2, pos0, ps, pad, row0=row0,
-                pad_to=npad_s if use_pallas else None)
+                img2, pos0, ps, pad, row0=row0, pad_to=npad_s)
         elif on_tpu and can_banded:
             # Column-banded DMA extraction: any resolution (4K+), VMEM
             # holds only one grid column's band.

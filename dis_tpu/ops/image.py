@@ -51,7 +51,10 @@ def gradient_magnitude(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(dx * dx + dy * dy)
 
 
-_RESIZE = _os.environ.get("DIS_TPU_RESIZE", "auto")
+# Read per call (not snapshotted at import) so harnesses can toggle the
+# knob via os.environ between measurements, matching DIS_TPU_PYRAMID.
+def _resize_mode() -> str:
+    return _os.environ.get("DIS_TPU_RESIZE", "auto")
 
 
 def resize_half(img: jnp.ndarray) -> jnp.ndarray:
@@ -69,7 +72,7 @@ def resize_half(img: jnp.ndarray) -> jnp.ndarray:
     accelerators, reshape on CPU (reduce_window is ~2x slower there)."""
     h, w = img.shape
     assert h % 2 == 0 and w % 2 == 0
-    mode = _RESIZE
+    mode = _resize_mode()
     if mode == "auto":
         import jax
 

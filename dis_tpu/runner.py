@@ -47,6 +47,12 @@ def run_sequence(
     out_dir = out_dir or f"OF_{os.path.basename(folder)}"
     os.makedirs(out_dir, exist_ok=True)
     flow_fn = jax.jit(lambda a, b: dis_flow(a, b, cfg))
+    from .utils import checks
+    if checks.enabled():
+        # Device-side sanitizers (DIS_TPU_CHECK=1): run the checkified
+        # program so the pipeline's guard sites are live here too, not
+        # just under the CLI.
+        flow_fn = checks.checked(flow_fn)
 
     first = start
     ck = None

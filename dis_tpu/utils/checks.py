@@ -24,6 +24,14 @@ from __future__ import annotations
 
 import os
 
+# Incremented while a checked() wrapper is tracing/running.  check()
+# emits checkify.check ONLY inside such a region: checkify.check in a
+# plain (non-functionalized) jit trace is a trace-time ValueError, so
+# guard sites in the pipeline must stay silent when the surrounding
+# entry point (bench.py, batched_flow_fn, a user's own jit) was not
+# wrapped — DIS_TPU_CHECK=1 must never crash an unwrapped path.
+_ACTIVE = 0
+
 
 def enabled() -> bool:
     return os.environ.get("DIS_TPU_CHECK", "0") not in ("", "0")
@@ -31,8 +39,9 @@ def enabled() -> bool:
 
 def check(pred, msg: str, **fmt) -> None:
     """Semantic invariant; active only under :func:`checked` wrapping
-    (guard sites call this unconditionally, it no-ops when disabled)."""
-    if enabled():
+    (guard sites call this unconditionally; it no-ops when disabled or
+    when the enclosing trace was not functionalized)."""
+    if enabled() and _ACTIVE:
         from jax.experimental import checkify
 
         checkify.check(pred, msg, **fmt)
@@ -44,6 +53,9 @@ def checked(fn):
     Returns a callable that runs the functionalized program and throws
     ``jax.experimental.checkify.JaxRuntimeError`` if any float, index
     or user check fired; the wrapped fn may be jitted by the caller.
+    Guard sites (:func:`check`) are live only under this wrapper —
+    checkify retraces with its own cache key, so the same jitted
+    pipeline can run both plain and checked in one process.
     """
     from jax.experimental import checkify
 
@@ -52,7 +64,38 @@ def checked(fn):
     cf = checkify.checkify(fn, errors=errs)
 
     def run(*args, **kwargs):
-        err, out = cf(*args, **kwargs)
+        global _ACTIVE
+        _ACTIVE += 1
+        try:
+            err, out = cf(*args, **kwargs)
+        finally:
+            _ACTIVE -= 1
+        err.throw()
+        return out
+
+    return run
+
+
+def checked_vmap(fn):
+    """Batched variant of :func:`checked`: functionalize ``fn`` FIRST,
+    then ``vmap`` — checkify cannot functionalize through a
+    vmap-of-while (JAX errors with "move the vmap to the outer level
+    to get vmap-of-checkify-of-while").  Throws if ANY batch element
+    tripped a check."""
+    import jax
+    from jax.experimental import checkify
+
+    errs = (checkify.float_checks | checkify.index_checks
+            | checkify.user_checks)
+    vf = jax.jit(jax.vmap(checkify.checkify(fn, errors=errs)))
+
+    def run(*args, **kwargs):
+        global _ACTIVE
+        _ACTIVE += 1
+        try:
+            err, out = vf(*args, **kwargs)
+        finally:
+            _ACTIVE -= 1
         err.throw()
         return out
 

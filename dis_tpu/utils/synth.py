@@ -1,9 +1,10 @@
 """Synthetic motion-family fixtures with analytic ground truth.
 
 Round-1 VERDICT missing-item #6: every EPE number previously came from
-constant-translation pairs.  This module generates six motion families
-— translation, rotation, zoom, shear/affine, discontinuous (occluding
-foreground), and a smooth nonrigid warp — all with exact ground truth
+constant-translation pairs.  This module generates seven motion
+families — translation, rotation, zoom, shear/affine, discontinuous
+(occluding foreground), a smooth nonrigid warp, and the nonrigid warp
+over a natural-statistics texture — all with exact ground truth
 and a validity mask, for the parity gate (benchmarks/accuracy.py) and
 the adversarial parity tests.
 
