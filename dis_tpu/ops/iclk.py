@@ -34,14 +34,14 @@ from jax import lax
 
 from ..config import DISConfig
 
-# Template extraction route: "conv" = one MXU patches-conv for the
-# 3*ps^2 taps (bit-identical on chip, one-hot identity filter at
-# HIGHEST precision); "slices" = 3*ps^2 strided slices.  Measured on
-# v5e at the 1080p finest scale: slices 1.53 ms, conv 5.64 ms (the
-# stride-5 HIGHEST-precision conv is implicit-GEMM-bound).  Conv wins
-# only at mid-size grids (0.30 vs 0.89 ms at 480x272) and that never
-# paid off end-to-end, so _CONV_MAX_PATCHES defaults to 0: "auto"
-# ALWAYS takes slices unless DIS_TPU_TEMPLATES_CONV_MAX is raised.
+# Template extraction route (all bit-exact; end-to-end v5e framex,
+# 1080p DIS-fast): "twostage_rw" 16.38 ms — separable decimation with
+# reduce_window column passes, the TPU auto default; "slices" (3*ps^2
+# lane-strided slices) 19.58 ms — the CPU auto default; "twostage"
+# 18.79 ms; "conv" (one MXU patches-conv, HIGHEST precision) loses at
+# the finest scale (5.64 vs 1.53 ms isolated) and is opt-in under
+# DIS_TPU_TEMPLATES_CONV_MAX (default 0 = never); "stacked3"/"rw" are
+# recorded dead ends kept switchable.
 _TEMPLATES = _os.environ.get("DIS_TPU_TEMPLATES", "auto")
 _CONV_MAX_PATCHES = int(_os.environ.get("DIS_TPU_TEMPLATES_CONV_MAX", "0"))
 
@@ -106,11 +106,30 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
     y0 = geom.iy0 * s + geom.offset_h - half + pad - row0
     x0 = geom.offset_w - half + pad
 
-    if _TEMPLATES == "twostage":
+    mode = _TEMPLATES
+    if mode == "auto":
+        # Measured end-to-end on v5e (framex, 1080p DIS-fast compat):
+        # slices 19.58 ms, twostage 18.79, twostage_rw 16.38 — the
+        # separable reduce_window column decimation replaces the 4.6 ms
+        # (17.1 ms at 4K) of lane-strided slice ops.  CPU keeps slices
+        # (reduce_window decimation is ~2x slower there).  The conv
+        # route stays opt-in under DIS_TPU_TEMPLATES_CONV_MAX.
+        if jax.default_backend() == "cpu":
+            mode = "slices"
+        elif n <= _CONV_MAX_PATCHES:
+            mode = "conv"
+        else:
+            mode = "twostage_rw"
+
+    if mode in ("twostage", "twostage_rw"):
         # Separable decimation: 8 row-decimating slices (sublane stride
         # s, contiguous rows -> cheap DMA) then 64 column-decimating
-        # slices on the 5x-smaller compacts, instead of 192 (s,s)-strided
-        # plane slices that each re-touch ~1.7 MB of plane rows.
+        # passes on the 5x-smaller compacts, instead of 192 (s,s)-strided
+        # plane slices that each re-touch ~1.7 MB of plane rows.  The
+        # column pass is a lane-strided slice ("twostage") or a
+        # window-1 stride-s reduce_window ("twostage_rw") — the same
+        # mechanism that beat strided slices 220x in resize_half; the
+        # lane-strided slice was the pathology all along.
         p3 = jnp.stack([img, dx, dy])                   # [3, Hp, Wp]
         xe = x0 + (geom.num_w - 1) * s + ps
         rows = []
@@ -122,15 +141,23 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
         taps = []
         for j in range(ps):
             for i in range(ps):
-                taps.append(lax.slice(
-                    rows[j], (0, 0, i),
-                    (3, geom.num_h, i + (geom.num_w - 1) * s + 1),
-                    (1, 1, s)))                         # [3, nh, nw]
+                if mode == "twostage_rw":
+                    win = lax.slice(
+                        rows[j], (0, 0, i),
+                        (3, geom.num_h, i + (geom.num_w - 1) * s + 1))
+                    taps.append(lax.reduce_window(
+                        win, jnp.float32(0), lax.add,
+                        (1, 1, 1), (1, 1, s), "VALID"))  # [3, nh, nw]
+                else:
+                    taps.append(lax.slice(
+                        rows[j], (0, 0, i),
+                        (3, geom.num_h, i + (geom.num_w - 1) * s + 1),
+                        (1, 1, s)))                     # [3, nh, nw]
         st = jnp.stack(taps, axis=-1)                   # [3, nh, nw, 64]
         st = st.transpose(0, 2, 1, 3).reshape(3, n, ps * ps)
         return _templates_from_taps(st[0], st[1], st[2])
 
-    if _TEMPLATES in ("stacked3", "rw"):
+    if mode in ("stacked3", "rw"):
         # One [3, nh, nw] strided slice (or reduce_window decimation)
         # per tap instead of three: same copies, one third the op count
         # (the 3 * ps^2 slices bill ~4.6 ms/frame in the device trace).
@@ -140,7 +167,7 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
         taps = []
         for j in range(ps):
             for i in range(ps):
-                if _TEMPLATES == "rw":
+                if mode == "rw":
                     win = lax.slice(p3, (0, y0 + j, x0 + i),
                                     (3, ye + j, xe + i))
                     t = lax.reduce_window(win, jnp.float32(0), lax.add,
@@ -153,10 +180,7 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
         st = st.transpose(0, 2, 1, 3).reshape(3, n, ps * ps)
         return _templates_from_taps(st[0], st[1], st[2])
 
-    use_conv = (_TEMPLATES == "conv" or
-                (_TEMPLATES == "auto" and jax.default_backend() != "cpu"
-                 and n <= _CONV_MAX_PATCHES))
-    if use_conv:
+    if mode == "conv":
         # One MXU patches-conv for all three planes replaces 3*ps^2
         # strided slices (the round-2 device trace bills those at
         # ~4.6 ms/frame across the four scales).  The one-hot identity

@@ -195,7 +195,7 @@ def test_templates_conv_matches_slices():
         iclk_mod._TEMPLATES = "slices"
         want = iclk_mod.extract_templates_grid(lv.img, lv.dx, lv.dy, geom, 8, 8)
         gots = {}
-        for mode in ("conv", "stacked3", "rw", "twostage"):
+        for mode in ("conv", "stacked3", "rw", "twostage", "twostage_rw"):
             iclk_mod._TEMPLATES = mode
             gots[mode] = iclk_mod.extract_templates_grid(
                 lv.img, lv.dx, lv.dy, geom, 8, 8)

@@ -29,7 +29,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def capture(trace_dir: str, frames: int = 3, batch: int = 1) -> None:
+def capture(trace_dir: str, frames: int = 3, batch: int = 1,
+            size: str = "1088x1920") -> None:
     import jax
     import jax.numpy as jnp
 
@@ -37,21 +38,22 @@ def capture(trace_dir: str, frames: int = 3, batch: int = 1) -> None:
     from dis_tpu.config import DISConfig
     from dis_tpu.models.dis import dis_flow_padded
 
+    h, w = (int(v) for v in size.split("x"))
     cfg = DISConfig(iterations=16, patch_size=8, coarsest_scale=3,
                     finest_scale=0, patch_overlap=0.3, mode="compat",
                     early_exit=False)
     if batch > 1:
         # vmapped pipeline (the --batch CLI / suite config-3b shape);
         # per-op times in the summary are per DISPATCH (batch pairs).
-        i1 = jnp.stack([jnp.asarray(synth(1088, 1920, 2 * i + 1))
+        i1 = jnp.stack([jnp.asarray(synth(h, w, 2 * i + 1))
                         for i in range(batch)])
-        i2 = jnp.stack([jnp.asarray(synth(1088, 1920, 2 * i + 2))
+        i2 = jnp.stack([jnp.asarray(synth(h, w, 2 * i + 2))
                         for i in range(batch)])
         fn = jax.jit(lambda a, b: jax.vmap(
             lambda x, y: dis_flow_padded(x, y, cfg))(a, b).sum())
     else:
-        i1 = jnp.asarray(synth(1088, 1920, 1))
-        i2 = jnp.asarray(synth(1088, 1920, 2))
+        i1 = jnp.asarray(synth(h, w, 1))
+        i2 = jnp.asarray(synth(h, w, 2))
         fn = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg).sum())
     float(fn(i1, i2))  # compile + warm outside the trace
     import jax.profiler
@@ -103,10 +105,12 @@ def main():
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--batch", type=int, default=1,
                     help="trace the vmapped batched pipeline instead")
+    ap.add_argument("--size", default="1088x1920", metavar="HxW",
+                    help="padded frame size, e.g. 2176x3840 for 4K")
     args = ap.parse_args()
     d = args.trace or "/tmp/dis_tpu_trace"
     if args.trace is None:
-        capture(d, args.frames, args.batch)
+        capture(d, args.frames, args.batch, args.size)
     summarize(d, args.frames, args.top)
 
 
