@@ -104,6 +104,7 @@ def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
             rhs_dilation=(1, 1),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             feature_group_count=c,
+            precision=lax.Precision.HIGHEST,
         )
         return out[0].transpose(1, 2, 0)  # [height, width, c]
 
@@ -120,6 +121,7 @@ def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
             lhs_dilation=(s, s),
             rhs_dilation=(1, 1),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=lax.Precision.HIGHEST,
         )
         return out[:, 0].transpose(1, 2, 0)
 
@@ -196,6 +198,7 @@ def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
                     padding=((0, 0), (pad_lo_x, pad_hi_x)),
                     lhs_dilation=(1, s),
                     dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                    precision=lax.Precision.HIGHEST,
                 )[:, 0]                                 # [c, n_i, W]
                 if o.shape[1] < ni_max:
                     o = jnp.pad(o, ((0, 0), (0, ni_max - o.shape[1]),

@@ -285,6 +285,17 @@ def sample_patches(img2: jnp.ndarray, pos: jnp.ndarray, ps: int, pad: int,
     return q
 
 
+# Matmul precision for the XLA-fallback contractions (the region
+# sampler's one-hot bilinear einsum and the Hinv matvec).  "highest" is
+# the only correct setting on TPU — the default precision lowers these
+# f32 contractions to one truncating bf16 pass (CPU ignores precision,
+# so CPU tests cannot catch it).  "default" exists ONLY so
+# tools/chip_precision_check.py can demonstrate the footgun on chip.
+_XLA_PRECISION = {"highest": None, "default": "default"}[
+    _os.environ.get("DIS_TPU_XLA_PRECISION", "highest")]
+_PREC = (lax.Precision.HIGHEST if _XLA_PRECISION is None
+         else lax.Precision.DEFAULT)
+
 # Region rows packed per gathered row. Counter-intuitively, 1 is the
 # end-to-end winner at 1080p (9.40 vs 7.65 fps for 6): XLA fuses the
 # unpacked sliding-window build into the row gather, while the packed
@@ -390,8 +401,15 @@ def sample_from_regions(regions: jnp.ndarray, base_y: jnp.ndarray,
             + (cc == cs[:, None, None] + ii + 1).astype(jnp.float32)
             * a[:, None, None])              # [N, Rc, ps]
 
+    # precision is load-bearing: on TPU the DEFAULT matmul precision
+    # lowers this contraction to one truncating bf16 pass, silently
+    # corrupting every sampled value on the kernel="xla" + region path
+    # (CPU tests cannot catch it — CPU ignores precision).  HIGHEST
+    # keeps the one-hot selector contraction exact (1.0/0.0 weights and
+    # the bf16x3 re-sum of the region values are exact in f32).
     q = jnp.einsum("njr,nrc,nci->nji", rs, regions, csel,
-                   preferred_element_type=jnp.float32).reshape(n, ps * ps)
+                   preferred_element_type=jnp.float32,
+                   precision=_PREC).reshape(n, ps * ps)
     if normalize:
         q = q - q.sum(axis=1, keepdims=True) * jnp.float32(1.0 / (ps * ps))
     return q
@@ -522,7 +540,10 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
         R = Q - Tn if fixed else Q
         rhs = jnp.stack([(tpl.Tdx * R).sum(axis=1),
                          (tpl.Tdy * R).sum(axis=1)], -1)
-        delta = jnp.einsum("nij,nj->ni", tpl.Hinv, rhs)
+        # HIGHEST: keep the 2x2 solve in true f32 if XLA routes this
+        # batched matvec to the MXU (default precision would truncate
+        # Hinv/rhs to one bf16 pass on TPU).
+        delta = jnp.einsum("nij,nj->ni", tpl.Hinv, rhs, precision=_PREC)
         u_new = u - delta
         p_new = centers + u_new
         d = start - p_new
