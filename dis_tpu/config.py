@@ -65,6 +65,18 @@ class DISConfig:
     # finest scale.  Compat mode is unaffected either way (the reference
     # skips refinement entirely, README.md:11).
     refine_per_level: bool = False
+    # Per-level refinement erases the static policing-chain bound on
+    # the next scale's init (the refined field is unbounded a priori),
+    # which silently drops 4K+ frames off the banded fast-extraction
+    # path — that path needs a static |init| bound to size its bands.
+    # With refined_init_clamp=True the refined flow is clamped to the
+    # SAME bound the unrefined pipeline guarantees (motion_bound(scale),
+    # the Q9 policing chain), restoring the static bound.  The clamp is
+    # a no-op unless refinement pushes flow beyond what the search
+    # could ever produce (far outside its own data term); applied
+    # identically in untiled and tiled modes, so exactness guarantees
+    # are unaffected.  Off by default: pure paper semantics.
+    refined_init_clamp: bool = False
     # Red-black Gauss-Seidel sweeps per IRLS outer iteration.
     refinement_inner_sweeps: int = 5
     # Relaxation sweeps per robust-weight update (lagged-diffusivity

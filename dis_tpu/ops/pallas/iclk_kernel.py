@@ -71,7 +71,12 @@ M_IAA, M_IAB, M_IBB = 0, 1, 2          # inverse Hessian entries
 M_IUX, M_IUY = 3, 4                    # init_u
 M_SX, M_SY = 5, 6                      # start position (pos0)
 M_CX, M_CY = 7, 8                      # patch center
-M_BX, M_BY = 9, 10                     # region base (padded-image coords)
+# Region base in CEIL coordinates: base - (padding - row0), i.e. the
+# value ``ceil(pos)`` is compared against directly.  Folding the padded
+# -plane offsets into the meta (instead of baking pad_x/pad_y into the
+# kernel) keeps the kernel row0-agnostic, so one kernel program serves
+# every stripe of the deduped tiled switch with row0 as traced data.
+M_BX, M_BY = 9, 10
 M_CONV0 = 11                           # initially-converged mask (1.0/0.0)
 M_ROWS = 12
 
@@ -79,7 +84,6 @@ M_ROWS = 12
 def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
                  u_ref, q_ref, conv_ref, *,
                  n_iters: int, ps: int, rr: int, rc: int,
-                 pad_x: int, pad_y: int,
                  lb: float, ub_w: float, ub_h: float, thresh: float,
                  normalize: bool, fixed: bool, conv_eps: float,
                  tn_ref=None, sampler: str = "onehot"):
@@ -113,8 +117,8 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
         a = posx - jnp.floor(posx)          # [1, B]
         b = posy - jnp.floor(posy)
         nudge = f32(1e-5)
-        cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32) + pad_x
-        cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32) + pad_y
+        cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32)
+        cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32)
         ws = jnp.clip(cpy - half - 1 - by, 0, rr - (ps + 1))  # [1, B]
         cs = jnp.clip(cpx - half - 1 - bx, 0, rc - (ps + 1))
 
@@ -158,8 +162,8 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
         a = posx - jnp.floor(posx)          # [1, B]
         b = posy - jnp.floor(posy)
         nudge = f32(1e-5)
-        cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32) + pad_x
-        cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32) + pad_y
+        cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32)
+        cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32)
         ws = jnp.clip(cpy - half - 1 - by, 0, rr - (ps + 1))  # [1, B]
         cs = jnp.clip(cpx - half - 1 - bx, 0, rc - (ps + 1))
 
@@ -209,8 +213,8 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
         a = posx - jnp.floor(posx)          # [1, B]
         b = posy - jnp.floor(posy)
         nudge = f32(1e-5)
-        cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32) + pad_x
-        cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32) + pad_y
+        cpx = jnp.clip(jnp.ceil(posx + nudge), -1e6, 1e6).astype(jnp.int32)
+        cpy = jnp.clip(jnp.ceil(posy + nudge), -1e6, 1e6).astype(jnp.int32)
         ws = jnp.clip(cpy - half - 1 - by, 0, rr - (ps + 1))  # [1, B]
         cs = jnp.clip(cpx - half - 1 - bx, 0, rc - (ps + 1))
 
@@ -388,12 +392,16 @@ def inverse_search_pallas(
             f"nor npad={npad}")
 
     pos0 = centers + init_u
+    # Bases in CEIL coordinates (see M_BX/M_BY note): the padded-plane
+    # offsets fold into the meta, so the kernel itself never sees
+    # pad/row0 — row0 may be a traced scalar (deduped tiled switch).
     meta = jnp.stack([
         Hinv[:, 0, 0], Hinv[:, 0, 1], Hinv[:, 1, 1],
         init_u[:, 0], init_u[:, 1],
         pos0[:, 0], pos0[:, 1],
         centers[:, 0], centers[:, 1],
-        base_x.astype(jnp.float32), base_y.astype(jnp.float32),
+        (base_x - cfg.img_padding).astype(jnp.float32),
+        (base_y - (cfg.img_padding - row0)).astype(jnp.float32),
         conv0.astype(jnp.float32),
     ], axis=0)                                   # [M_ROWS, N]
     meta = padn(meta.T, 0.0).T
@@ -447,7 +455,6 @@ def inverse_search_pallas(
     kernel = functools.partial(
         _iclk_kernel,
         n_iters=cfg.iterations + 1, ps=ps, rr=rr, rc=rc,
-        pad_x=cfg.img_padding, pad_y=cfg.img_padding - row0,
         lb=-float(ps) / 2.0, ub_w=float(width + ps // 2 - 2),
         ub_h=float(height + ps // 2 - 2), thresh=float(cfg.outlier_thresh),
         normalize=cfg.patch_normalization, fixed=fixed,

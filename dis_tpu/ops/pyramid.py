@@ -9,6 +9,7 @@ gradients (main.cpp:41-49).
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple
 
 import jax.numpy as jnp
@@ -100,7 +101,7 @@ def construct_pyramid(img: jnp.ndarray, coarsest_scale: int,
                 h, w = cur.shape
             levels.append(PyramidLevel(img=ip, dx=dx, dy=dy,
                                        width=w, height=h))
-        return levels
+        return _barrier_levels(levels)
     cur = im.gradient_magnitude(img)
     for s in range(coarsest_scale + 1):
         if s > 0:
@@ -117,4 +118,33 @@ def construct_pyramid(img: jnp.ndarray, coarsest_scale: int,
                 height=h,
             )
         )
-    return levels
+    return _barrier_levels(levels)
+
+
+# Fence the pyramid from consumer-driven fusion (default on).  XLA's
+# fusion is CONSUMER-shaped: the same Sobel/magnitude/decimate subgraph
+# compiles with different fma/vectorization choices depending on what
+# reads it, so an untiled program and a shard_map-tiled program consuming
+# the identical pyramid math produce ulp-different level planes, which
+# the patch search then amplifies through discrete policing decisions
+# (round-2 "~1e-5 reassociation noise", root-caused in round 3).  An
+# optimization_barrier on each level's planes makes the pyramid its own
+# fusion island — identical in every program context — which makes
+# grid-tiled SPMD execution BITWISE equal to the untiled pipeline
+# (tests/test_parallel.py).  The cost is only lost producer fusion into
+# the first consumer slice of each plane; the planes were materialized
+# buffers anyway (chip A/B within bench noise, PERF_NOTES.md round 3).
+_BARRIER = os.environ.get("DIS_TPU_PYRAMID_BARRIER", "1") == "1"
+
+
+def _barrier_levels(levels: "List[PyramidLevel]") -> "List[PyramidLevel]":
+    if not _BARRIER:
+        return levels
+    from jax import lax
+
+    out = []
+    for l in levels:
+        i_, dx_, dy_ = lax.optimization_barrier((l.img, l.dx, l.dy))
+        out.append(PyramidLevel(img=i_, dx=dx_, dy=dy_,
+                                width=l.width, height=l.height))
+    return out

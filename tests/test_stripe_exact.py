@@ -61,14 +61,23 @@ def test_stripe_halo_validation():
             row0=96, own_r0=96, own_h=32, global_h=h)
 
 
-def test_stripe_rejects_refinement():
+def test_stripe_ignores_refinement_fields():
+    """Refinement is a global stencil owned by the tiling layer;
+    dis_flow_stripe neutralizes the config's refinement fields instead
+    of raising (round-3 contract) — its output equals the refinement-
+    free stripe bitwise."""
+    import dataclasses
+
     h, w = 160, 48
     i1, i2 = synthetic_pair(h, w, seed=17)
     cfg = DISConfig(iterations=4, coarsest_scale=2, refinement_iters=2,
                     mode="fixed")
-    with pytest.raises(ValueError, match="refinement"):
-        dis_flow_stripe(jnp.asarray(i1), jnp.asarray(i2), cfg,
-                        row0=0, own_r0=0, own_h=64, global_h=h)
+    base = dataclasses.replace(cfg, refinement_iters=0)
+    got = np.asarray(dis_flow_stripe(jnp.asarray(i1), jnp.asarray(i2), cfg,
+                                     row0=0, own_r0=0, own_h=64, global_h=h))
+    want = np.asarray(dis_flow_stripe(jnp.asarray(i1), jnp.asarray(i2), base,
+                                      row0=0, own_r0=0, own_h=64, global_h=h))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_tiled_flow_exact_full_frame():
