@@ -67,6 +67,33 @@ def _load():
         lib.flow_to_bgr.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                     ctypes.c_int, ctypes.c_float,
                                     ctypes.c_void_p]
+        # KITTI flow-GT codec: a stale .so from an older build may lack
+        # the symbols — force one rebuild, then require them.
+        if not all(hasattr(lib, s) for s in
+                   ("kitti_flow_read", "kitti_flow_write", "png_peek")):
+            try:
+                del lib  # release before relinking
+                subprocess.run(["make", "-B", "-C", _DIR], check=True,
+                               capture_output=True, timeout=120)
+                lib = ctypes.CDLL(_SO)
+            except Exception:
+                return None
+            if not all(hasattr(lib, s) for s in
+                       ("kitti_flow_read", "kitti_flow_write", "png_peek")):
+                return None
+        lib.kitti_flow_read.restype = ctypes.c_int
+        lib.kitti_flow_read.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.kitti_flow_write.restype = ctypes.c_int
+        lib.kitti_flow_write.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int]
+        lib.png_peek.restype = ctypes.c_int
+        lib.png_peek.argtypes = [ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_int),
+                                 ctypes.POINTER(ctypes.c_int)]
         _lib = lib
         return _lib
 
@@ -114,6 +141,41 @@ def flo_read(path: str, channels: int = 2) -> Optional[np.ndarray]:
     out = np.empty((h.value, w.value, channels), "<f4")
     rc = lib.flo_read(path.encode(), out.ctypes.data, out.size, channels)
     return out if rc == 0 else None
+
+
+def kitti_flow_read(path: str):
+    """Native KITTI GT decode -> (flow [H,W,2] f32, valid [H,W] bool),
+    or None when the library is unavailable or the file unsupported."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.png_peek(path.encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    flow = np.empty((h.value, w.value, 2), np.float32)
+    valid = np.empty((h.value, w.value), np.uint8)
+    rc = lib.kitti_flow_read(path.encode(), flow.ctypes.data, flow.size,
+                             valid.ctypes.data, valid.size,
+                             ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    return flow, valid.astype(bool)
+
+
+def kitti_flow_write(path: str, flow: np.ndarray,
+                     valid: Optional[np.ndarray] = None) -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(flow, np.float32)
+    h, w = arr.shape[:2]
+    vptr = None
+    if valid is not None:
+        varr = np.ascontiguousarray(valid, np.uint8)
+        vptr = varr.ctypes.data
+    return lib.kitti_flow_write(path.encode(), arr.ctypes.data,
+                                vptr, w, h) == 0
 
 
 def flow_to_bgr(flow: np.ndarray, maxmotion: float = -1.0) -> Optional[np.ndarray]:
