@@ -135,12 +135,23 @@ def main():
             time.sleep(10)
     if ours is None:
         raise err
-    base = baseline_fps(i1, i2)
+    base_local = baseline_fps(i1, i2)
+    # Denominator convention (benchmarks/timing.py::CPP_LEDGER_FPS):
+    # vs_baseline is pinned to the LEDGER's 1.45 fps — the highest C++
+    # reading ever recorded for tools/cpp_baseline on this workload,
+    # i.e. the most conservative speedup claim.  The machine-local
+    # cached measurement (load-sensitive) is reported alongside.
+    sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+    from timing import CPP_LEDGER_FPS
+
     print(json.dumps({
         "metric": "frames/sec/chip @1080p DIS-fast (compat semantics)",
         "value": round(ours, 4),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(ours / base, 4),
+        "vs_baseline": round(ours / CPP_LEDGER_FPS, 4),
+        "baseline_fps_pinned_ledger": CPP_LEDGER_FPS,
+        "baseline_fps_local_cache": round(base_local, 4),
+        "vs_local_cache": round(ours / base_local, 4),
     }))
 
 

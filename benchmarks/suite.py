@@ -17,23 +17,19 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
 
-
-def timed(fn, *args, reps=3):
-    import jax
-    out = fn(*args)
-    float(np.asarray(out).ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    float(np.asarray(out).ravel()[0])
-    return (time.perf_counter() - t0) / reps
+# One timing methodology for all artifacts (benchmarks/timing.py):
+# chained device-side repetitions, the same harness bench.py and
+# tpu_experiments.py use — round-2 VERDICT item #6 (this file used to
+# time with host perf_counter, giving the same workload a different
+# number than bench.py).
+from timing import chained_seconds as timed  # noqa: E402
 
 
 def synth(h, w, seed=0):
@@ -65,7 +61,7 @@ def main():
     records = []
 
     def emit(**kw):
-        rec = {"platform": platform, **kw}
+        rec = {"platform": platform, "timing": "chained-device", **kw}
         records.append(rec)
         print(json.dumps(rec), flush=True)
 

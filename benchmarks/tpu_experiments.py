@@ -22,52 +22,14 @@ import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+
+# Shared chained device-side timing (benchmarks/timing.py) — the one
+# methodology every artifact uses (round-2 VERDICT item #6).
+from timing import chained_seconds as timed  # noqa: E402
 
 W, H = 1920, 1080
 PADH = 1088  # divisible by 8
-
-
-def timed(fn, *args, chain=8, reps=3):
-    """Seconds per call via CHAINED repetitions inside one jit.
-
-    The tunnel adds ~30 ms of host RTT and scheduling noise per
-    dispatch, far above single-op runtimes; ``chain`` data-dependent
-    iterations of the op amortize that inside one device program
-    (the scalar carry perturbs the first operand by ~1e-30 to defeat
-    CSE without changing results).
-    """
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    def chained(*a):
-        def body(i, c):
-            first = a[0] + c * jnp.float32(1e-30)
-            return c + fn(first, *a[1:]).astype(jnp.float32) * jnp.float32(1e-30)
-        return lax.fori_loop(0, chain, body, jnp.float32(0.0))
-
-    g = jax.jit(chained)
-    float(g(*args))  # compile + warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(g(*args))
-        best = min(best, time.perf_counter() - t0)
-    # subtract one RTT (measured once per process)
-    global _RTT
-    if _RTT is None:
-        r = jax.jit(lambda x: (x.ravel()[0] * 0 + 1))
-        float(r(args[0]))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(r(args[0]))
-            ts.append(time.perf_counter() - t0)
-        _RTT = min(ts)
-    return max(0.0, best - _RTT) / chain
-
-
-_RTT = None
 
 
 def emit(**kw):
