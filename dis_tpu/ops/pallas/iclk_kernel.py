@@ -348,7 +348,14 @@ def search_padding(n: int, block: int = None) -> Tuple[int, int]:
     import os as _os
 
     if block is None:
-        block = int(_os.environ.get("DIS_TPU_BLOCK", "512"))
+        # Round-3 chip A/B (PERF_NOTES): 128 > 256 > 512 end-to-end
+        # (14.3 / 15.6 / 16.2 ms per 1080p DIS-fast frame, bitwise
+        # identical).  More grid steps pipeline the per-block DMAs
+        # against compute, and the one-lane-tile block eliminates
+        # padding waste at the small coarse-scale grids (the "three
+        # small-grid launches at ~2.6x worse per-patch efficiency" in
+        # ROOFLINE.md was mostly this).
+        block = int(_os.environ.get("DIS_TPU_BLOCK", "128"))
     block = min(block, max(128, 128 * (-(-n // 128))))
     nb = -(-n // block)
     return block, nb * block
