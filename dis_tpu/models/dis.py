@@ -344,6 +344,14 @@ def dis_flow_stripe(img1_ext: jnp.ndarray, img2_ext: jnp.ndarray,
     refines the gathered full-frame flow (final-scale refinement), or
     routes per-level-refinement configs through the grid-tiled engine.
     ``cfg.refinement_*`` fields are ignored by this function.
+
+    ``row_delta`` (traced int32 scalar, multiples of 2**coarsest)
+    supports the deduped tiled switch: this static program — built for
+    a group-representative stripe — computes a member stripe sitting
+    ``row_delta`` finest-frame rows lower.  The member must have an
+    EQUAL :func:`stripe_local_signature`; the offset then enters only
+    integer-exact data paths (centers, sampling index arithmetic), so
+    the result is bitwise what a per-stripe static program computes.
     """
     ext_h, w = img1_ext.shape
     f = 2 ** cfg.coarsest_scale
