@@ -162,6 +162,23 @@ def test_dis_medium_preset_runs_tiled():
     np.testing.assert_array_equal(got, want)
 
 
+def test_grid_tiled_finest_scale_1_compat():
+    """Grid-tiled engine with finest_scale=1 (windows at downscaled
+    output) in compat mode (uniform densify weights), bitwise."""
+    h, w = 128, 48
+    i1, i2 = synthetic_pair(h, w, shift=(2.0, 0.0), seed=21)
+    cfg = DISConfig(iterations=6, coarsest_scale=2, finest_scale=1,
+                    patch_overlap=0.5, early_exit=False,
+                    refinement_iters=1, refine_per_level=True,
+                    refinement_inner_sweeps=2, refinement_sor_sweeps=1)
+    mesh = make_mesh((1, 4), axis_names=("batch", "space"))
+    fn = tiled_flow_fn(cfg, mesh, h, w)
+    got = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))
+    want = np.asarray(_jfp(jnp.asarray(i1), jnp.asarray(i2), cfg))
+    assert got.shape == want.shape == (h // 2, w // 2, 2)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_grid_tiled_host_level_bitwise():
     """Host-level grid-tiled execution (one controller, no shard_map)
     is bitwise for both refinement placements and plain configs."""
