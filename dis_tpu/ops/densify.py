@@ -61,9 +61,21 @@ def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
     For row-ranged grids (exact tiling) the output window starts at
     global row ``out_row0`` and spans ``height`` rows; the caller must
     include every patch row whose footprint intersects the window.
+
+    (A trailing-channel custom_vmap batching rule — fold the pair batch
+    into the phase stencil's channel dim so the interleave stays
+    layout-friendly — was built and measured end-to-end NEUTRAL at
+    Sintel batch-4 (5.05 vs 5.03 ms/pair): the stack-assembly copy
+    persists in either layout, and the batched glue cost lives in the
+    kernel-I/O relayouts, not here.  Recorded in PERF_NOTES round 3;
+    code kept out per the isolated-wins rule.)
     """
-    half = ps // 2
-    s = geom.steps
+    return _densify_impl(u, geom, width, height, ps, weights, out_row0)
+
+
+def _densify_impl(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
+                  ps: int, weights: Optional[jnp.ndarray],
+                  out_row0: int) -> jnp.ndarray:
     # Patch values on the [num_h, num_w] grid. u is x-outer/y-inner
     # (index = ix * num_h + iy), so reshape to [num_w, num_h] then swap.
     ug = u.reshape(geom.num_w, geom.num_h, 2).transpose(1, 0, 2)
@@ -74,6 +86,19 @@ def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
         wg = weights.reshape(geom.num_w, geom.num_h).T[..., None]
         vg = ug * wg
 
+    tconv = _tconv_fn(geom, width, height, ps, out_row0)
+    fsum = tconv(vg, 2)
+    wsum = tconv(wg, 1)
+    return jnp.where(wsum > 0, fsum / jnp.where(wsum > 0, wsum, 1.0), 0.0)
+
+
+def _tconv_fn(geom: GridGeometry, width: int, height: int, ps: int,
+              out_row0: int):
+    """Selected transposed-conv stencil (x [nh, nw, c] -> [H, W, c]) for
+    the given grid geometry; channels are generic, so the batched rule
+    folds pairs into them."""
+    half = ps // 2
+    s = geom.steps
     # A patch at grid index i covers pixels x with
     #   x - (i*s + off) in [-ps/2, ps/2 - 1].
     # The correlation with lhs_dilation=s computes
@@ -237,9 +262,5 @@ def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
         full = full.reshape(ni_max * s, nj_max * s, c)
         return full[:height, :width]
 
-    tconv = {"dilated": tconv_dilated, "batch": tconv_batch,
-             "phases": tconv_phases}[_ALGO]
-
-    fsum = tconv(vg, 2)
-    wsum = tconv(wg, 1)
-    return jnp.where(wsum > 0, fsum / jnp.where(wsum > 0, wsum, 1.0), 0.0)
+    return {"dilated": tconv_dilated, "batch": tconv_batch,
+            "phases": tconv_phases}[_ALGO]
