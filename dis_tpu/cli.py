@@ -76,9 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-early-exit", action="store_true")
     p.add_argument("--batch", type=int, default=1, metavar="N",
                    help="process N consecutive frame pairs per device "
-                        "dispatch (vmapped pipeline; amortizes the "
-                        "coarse-scale fixed costs — parallel.batch is "
-                        "the multi-chip version of the same axis)")
+                        "dispatch (vmapped pipeline).  Amortizes HOST "
+                        "dispatch overhead (valuable on high-RTT "
+                        "attachments); device-side the batched glue "
+                        "costs ~1.8x per pair at Sintel size "
+                        "(PERF_NOTES round 3), so prefer serial "
+                        "dispatch when the host link is fast.  "
+                        "parallel.batch is the multi-chip version of "
+                        "the same axis.")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--json-log", default=None,
