@@ -86,7 +86,8 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
                  n_iters: int, ps: int, rr: int, rc: int,
                  lb: float, ub_w: float, ub_h: float, thresh: float,
                  normalize: bool, fixed: bool, conv_eps: float,
-                 tn_ref=None, sampler: str = "onehot"):
+                 tn_ref=None, sampler: str = "onehot",
+                 reg_layout: str = "4d"):
     half = ps // 2
     f32 = jnp.float32
 
@@ -103,7 +104,24 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
 
     tdx = tdx_ref[0, :, :]       # [ps*ps, B]
     tdy = tdy_ref[0, :, :]
-    regions = reg_ref[0, :, :, :]  # [Rr, Rc, B]
+    if reg_layout == "inkernel":
+        # RECORDED NEGATIVE (round 3): regions arrive in the extraction
+        # kernel's native [B, Rr*Rc] layout (free reshape outside) and
+        # the lane-major relayout happens HERE as an MXU identity
+        # contraction per block — VMEM-local, intended to replace the
+        # 1.65 ms/frame XLA relayout copy.  Bit-exact, but measured
+        # 24.0 ms vs 14.3 ms at 1080p/block 128: the contraction runs
+        # at HIGHEST (6 bf16 passes) over dim 0 of a [128, 361] LHS —
+        # a transposed-LHS matmul Mosaic serializes poorly per block.
+        # Kept switchable for re-evaluation on other hardware.
+        A = reg_ref[0, :, :]                       # [B, Rr*Rc]
+        eye = jnp.eye(A.shape[0], dtype=f32)
+        At = lax.dot_general(A, eye, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=lax.Precision.HIGHEST)
+        regions = At.reshape(rr, rc, A.shape[0])   # [Rr, Rc, B]
+    else:
+        regions = reg_ref[0, :, :, :]  # [Rr, Rc, B]
 
     B = tdx.shape[-1]
     riota_r = lax.broadcasted_iota(jnp.int32, (rr, B), 0)  # region row idx
@@ -426,7 +444,10 @@ def inverse_search_pallas(
     tdx_b = blk(padn(Tdx).T)
     tdy_b = blk(padn(Tdy).T)
     traw_b = blk(padn(T).T)
-    if _REG_LAYOUT == "4d":
+    if _REG_LAYOUT == "inkernel":
+        # free reshape: the kernel relayouts per block on the MXU
+        reg_b = regions_p.reshape(nb, block, rr * rc)
+    elif _REG_LAYOUT == "4d":
         reg_b = regions_p.reshape(nb, block, rr, rc).transpose(0, 2, 3, 1)
     elif _REG_LAYOUT == "mxu":
         # Contract the patch dim against a block-size identity on the
@@ -465,9 +486,14 @@ def inverse_search_pallas(
         lb=-float(ps) / 2.0, ub_w=float(width + ps // 2 - 2),
         ub_h=float(height + ps // 2 - 2), thresh=float(cfg.outlier_thresh),
         normalize=cfg.patch_normalization, fixed=fixed,
-        conv_eps=cfg.conv_eps, sampler=_SAMPLER,
+        conv_eps=cfg.conv_eps, sampler=_SAMPLER, reg_layout=_REG_LAYOUT,
     )
 
+    reg_spec = (pl.BlockSpec((1, block, rr * rc), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+                if _REG_LAYOUT == "inkernel" else
+                pl.BlockSpec((1, rr, rc, block), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((1, M_ROWS, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -475,8 +501,7 @@ def inverse_search_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rr, rc, block), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        reg_spec,
         pl.BlockSpec((1, ps * ps, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
