@@ -111,14 +111,19 @@ def _uniform_wsum(geom_key, width: int, height: int, ps: int,
     cnt = np.zeros((height, width), np.float32)
     ys = (np.arange(iy0, iy0 + num_h) * s + off_h) - out_row0
     xs = np.arange(num_w) * s + off_w
-    # 1-D coverage profiles (the footprint is separable)
+    # 1-D coverage profiles (the footprint is separable).  hi clamps to
+    # lo so patches entirely outside the window contribute zero (a
+    # negative hi would wrap the Python slice) — the pipeline's window
+    # plans never over-include rows, but keep the function total.
     cov_y = np.zeros(height, np.float32)
     for cy in ys:
-        lo, hi = max(0, cy - half), min(height, cy + half)
+        lo = max(0, cy - half)
+        hi = max(lo, min(height, cy + half))
         cov_y[lo:hi] += 1.0
     cov_x = np.zeros(width, np.float32)
     for cx in xs:
-        lo, hi = max(0, cx - half), min(width, cx + half)
+        lo = max(0, cx - half)
+        hi = max(lo, min(width, cx + half))
         cov_x[lo:hi] += 1.0
     cnt = np.outer(cov_y, cov_x)
     return cnt[..., None].astype(np.float32)

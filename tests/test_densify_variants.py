@@ -102,3 +102,29 @@ def test_assembly_variants_striped():
             np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=assemble)
     finally:
         densify_mod._ASSEMBLE = old
+
+
+@pytest.mark.parametrize("steps", [2, 5])
+def test_uniform_wsum_constant_matches_device(steps):
+    """The compile-time uniform weight plane (round-3 perf win) is
+    bitwise what the device stencil computes — coverage counts are
+    exact integers in f32 — including row-ranged stripe geometries
+    with out-of-window patch rows."""
+    w, h, ps = 52, 48, 8
+    r = np.random.default_rng(steps)
+    for iy_range, out_row0, win_h in [
+        (None, 0, h),
+        ((2, 9), 16, 24),       # interior window
+        ((0, 6), 0, 16),        # frame-top window
+    ]:
+        geom = make_grid(w, h, steps, iy_range=iy_range)
+        n = geom.num_w * geom.num_h
+        u = jnp.asarray(r.standard_normal((n, 2)).astype(np.float32) * 3)
+        # constant-plane path (weights=None)
+        got = np.asarray(densify_mod.densify(u, geom, w, win_h, ps,
+                                             out_row0=out_row0))
+        # device path: explicit all-ones weights
+        ones = jnp.ones(n, jnp.float32)
+        want = np.asarray(densify_mod.densify(u, geom, w, win_h, ps, ones,
+                                              out_row0=out_row0))
+        np.testing.assert_array_equal(got, want)
