@@ -48,11 +48,27 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _slab_rows(rc: int) -> int:
+    """Aligned slab height for the per-patch y-roll: the smallest POWER
+    OF TWO >= 7 + rc (y0 % 8 + rc rows must fit).  A dynamic sublane
+    ``pltpu.roll`` over a non-power-of-two length silently corrupts the
+    rotation (round-3 ps=12 bug: ra=40 rolled rows to wrong positions
+    while ra=32 at ps=8 was correct); power-of-two lengths are the
+    verified-safe case (ps=8/ra=32 bitwise across rounds, ps=12/ra=64
+    verified on chip in tests run round 3).
+    """
+    need = 7 + rc
+    ra = 32
+    while ra < need:
+        ra *= 2
+    return ra
+
+
 def vmem_ok(th: int, tw: int, ps: int, block: int = 256,
             budget_bytes: int = 12 * 1024 * 1024) -> bool:
     """Whether the padded image + block buffers fit the VMEM budget."""
     rc = 2 * ps + 3
-    ra = _cdiv(7 + rc, 8) * 8
+    ra = _slab_rows(rc)
     th_pad = _cdiv(th, 8) * 8 + ra
     tw_pad = _cdiv(tw, 128) * 128 + 256
     img_bytes = th_pad * tw_pad * 4
@@ -96,7 +112,7 @@ def extract_regions_banded(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
     """
     th, tw = img2.shape
     rc = 2 * ps + 3
-    ra = _cdiv(7 + rc, 8) * 8
+    ra = _slab_rows(rc)
     n = pos0.shape[0]
     assert n == num_w * num_h, (n, num_w, num_h)
 
@@ -199,7 +215,7 @@ def extract_regions_pallas(img2: jnp.ndarray, pos0: jnp.ndarray, ps: int,
     lanes are marked converged)."""
     th, tw = img2.shape
     rc = 2 * ps + 3
-    ra = _cdiv(7 + rc, 8) * 8       # aligned slab rows (y0%8 + rc <= ra)
+    ra = _slab_rows(rc)             # aligned slab rows (y0%8 + rc <= ra)
     n = pos0.shape[0]
 
     nudge = jnp.float32(1e-5)

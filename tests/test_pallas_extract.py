@@ -11,8 +11,18 @@ from dis_tpu.ops import iclk
 from dis_tpu.ops.pallas.extract_kernel import extract_regions_pallas, vmem_ok
 
 
-def test_extraction_kernel_matches_xla(rng):
-    ps, pad = 8, 8
+import pytest
+
+
+@pytest.mark.parametrize("ps", [8, 12])
+def test_extraction_kernel_matches_xla(rng, ps):
+    """NOTE: interpret mode checks the kernel's INDEX math only — the
+    round-3 ps=12 bug (dynamic sublane roll over a non-power-of-two
+    slab height silently corrupting the rotation) was invisible here
+    because interpret mode executes rolls with reference semantics; the
+    Mosaic-compiled path is verified bitwise on chip for ps in
+    {8, 10, 12, 16} (round-3 fix of _slab_rows, PERF_NOTES)."""
+    pad = ps
     img = jnp.asarray((rng.random((72, 200)) * 255).astype(np.float32))
     n = 300
     pos0 = jnp.asarray(np.stack([
