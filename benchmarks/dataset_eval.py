@@ -101,7 +101,7 @@ def main() -> int:
             flow_fn(jnp.asarray(i1), jnp.asarray(i2))))
         times.append(time.perf_counter() - t0)
         epes.append(metrics.epe(flow, gt, valid=valid))
-        fls.append(metrics.bad_pixel_ratio(flow, gt))
+        fls.append(metrics.bad_pixel_ratio(flow, gt, valid=valid))
         n += 1
         if args.limit and n >= args.limit:
             break

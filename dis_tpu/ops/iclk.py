@@ -291,8 +291,12 @@ def sample_patches(img2: jnp.ndarray, pos: jnp.ndarray, ps: int, pad: int,
 # f32 contractions to one truncating bf16 pass (CPU ignores precision,
 # so CPU tests cannot catch it).  "default" exists ONLY so
 # tools/chip_precision_check.py can demonstrate the footgun on chip.
-_XLA_PRECISION = {"highest": None, "default": "default"}[
-    _os.environ.get("DIS_TPU_XLA_PRECISION", "highest")]
+_prec_env = _os.environ.get("DIS_TPU_XLA_PRECISION", "highest").lower()
+if _prec_env not in ("highest", "default"):
+    raise ValueError(
+        "DIS_TPU_XLA_PRECISION must be 'highest' or 'default', got "
+        f"{_prec_env!r}")
+_XLA_PRECISION = {"highest": None, "default": "default"}[_prec_env]
 _PREC = (lax.Precision.HIGHEST if _XLA_PRECISION is None
          else lax.Precision.DEFAULT)
 

@@ -116,6 +116,9 @@ def read_png16_rgb(path: str) -> np.ndarray:
             break
     if width is None:
         raise ValueError(f"{path}: missing IHDR")
+    if not (0 < width and 0 < height and width * height <= 100_000_000):
+        # untrusted header: bound dims before any dim-sized allocation
+        raise ValueError(f"{path}: implausible PNG dims {width}x{height}")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"{path}: unsupported PNG color type {ctype}")
@@ -173,7 +176,14 @@ def save_kitti_flow(path: str, flow: np.ndarray,
                     valid: Optional[np.ndarray] = None) -> None:
     """Write flow [H, W, 2] (+ optional validity mask) in KITTI GT
     format.  Values are clamped to the format's representable range
-    [-512, 511.984] px at 1/64 px quantization (devkit flow_write)."""
+    [-512, 511.984] px at 1/64 px quantization.
+
+    Quantization rounds half UP (floor(q + 0.5)), following the Matlab
+    devkit's flow_write rounding and our native writer.  The C++ devkit
+    (io_flow.h FlowImage::write) instead TRUNCATES on its uint16 cast,
+    so files it writes can differ by 1/64 px on exact-half values —
+    harmless for reading GT, but note the convention if byte-comparing
+    against C++-devkit-written files."""
     flow = np.asarray(flow, np.float32)
     h, w = flow.shape[:2]
     if valid is None:

@@ -36,12 +36,21 @@ def angular_error(flow: np.ndarray, gt: np.ndarray) -> float:
 
 
 def bad_pixel_ratio(flow: np.ndarray, gt: np.ndarray, thresh: float = 3.0,
-                    rel: float = 0.05) -> float:
-    """KITTI Fl-style outlier ratio: EPE > thresh AND EPE > rel*|gt|."""
+                    rel: float = 0.05,
+                    valid: Optional[np.ndarray] = None) -> float:
+    """KITTI Fl-style outlier ratio: EPE > thresh AND EPE > rel*|gt|.
+
+    ``valid`` is the GT validity mask ([H, W] bool).  It is REQUIRED for
+    sparse KITTI GT: loaders zero invalid pixels, so without the mask
+    ~50% of pixels would be scored against gt=(0, 0) and both the
+    denominator and the outlier count would be wrong.  When omitted,
+    Sintel-style sentinels (|gt| > 1e9 / NaN) are masked as in epe()."""
     d = flow[..., :2] - gt[..., :2]
     e = np.sqrt((d * d).sum(-1))
     mag = np.sqrt((gt[..., :2] ** 2).sum(-1))
-    valid = (np.abs(gt[..., 0]) < 1e9) & (np.abs(gt[..., 1]) < 1e9) & np.isfinite(e)
+    if valid is None:
+        valid = (np.abs(gt[..., 0]) < 1e9) & (np.abs(gt[..., 1]) < 1e9)
+    valid = valid & np.isfinite(e)
     bad = (e > thresh) & (e > rel * mag) & valid
     return float(bad.sum() / valid.sum()) if valid.any() else float("nan")
 

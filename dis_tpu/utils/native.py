@@ -28,6 +28,16 @@ _SO = os.path.join(_DIR, "libnative_io.so")
 _lib = None
 _lock = threading.Lock()
 _tried = False
+_has_kitti = False
+
+# Upper bound on pixel count accepted from an untrusted PNG IHDR before
+# allocating; rejects corrupt/hostile headers that would trigger multi-GB
+# np.empty calls (the native codec re-validates after decode).
+_MAX_PIXELS = 100_000_000
+
+
+def _dims_ok(w: int, h: int) -> bool:
+    return 0 < w and 0 < h and w * h <= _MAX_PIXELS
 
 
 def _load():
@@ -36,13 +46,17 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and os.path.exists(
-                os.path.join(_DIR, "Makefile")):
+        # Let `make` decide staleness from file mtimes (sources vs .so)
+        # BEFORE the first dlopen: ctypes cannot reliably unload an
+        # already-mapped library, so rebuilding after a CDLL of a stale
+        # .so would keep serving the old image.  make is a no-op when
+        # the .so is current.
+        if os.path.exists(os.path.join(_DIR, "Makefile")):
             try:
                 subprocess.run(["make", "-C", _DIR], check=True,
                                capture_output=True, timeout=120)
             except Exception:
-                return None
+                pass  # a prebuilt .so may still be usable below
         if not os.path.exists(_SO):
             return None
         try:
@@ -67,20 +81,16 @@ def _load():
         lib.flow_to_bgr.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                     ctypes.c_int, ctypes.c_float,
                                     ctypes.c_void_p]
-        # KITTI flow-GT codec: a stale .so from an older build may lack
-        # the symbols — force one rebuild, then require them.
-        if not all(hasattr(lib, s) for s in
-                   ("kitti_flow_read", "kitti_flow_write", "png_peek")):
-            try:
-                del lib  # release before relinking
-                subprocess.run(["make", "-B", "-C", _DIR], check=True,
-                               capture_output=True, timeout=120)
-                lib = ctypes.CDLL(_SO)
-            except Exception:
-                return None
-            if not all(hasattr(lib, s) for s in
-                       ("kitti_flow_read", "kitti_flow_write", "png_peek")):
-                return None
+        # KITTI flow-GT codec arrived in a later build.  If a stale .so
+        # survived the make attempt above (e.g. no compiler available),
+        # keep serving the symbols it DOES have and only mark the KITTI
+        # entry points unavailable instead of disabling all native I/O.
+        global _has_kitti
+        _has_kitti = all(hasattr(lib, s) for s in
+                         ("kitti_flow_read", "kitti_flow_write", "png_peek"))
+        if not _has_kitti:
+            _lib = lib
+            return _lib
         lib.kitti_flow_read.restype = ctypes.c_int
         lib.kitti_flow_read.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,
@@ -147,11 +157,13 @@ def kitti_flow_read(path: str):
     """Native KITTI GT decode -> (flow [H,W,2] f32, valid [H,W] bool),
     or None when the library is unavailable or the file unsupported."""
     lib = _load()
-    if lib is None:
+    if lib is None or not _has_kitti:
         return None
     w = ctypes.c_int()
     h = ctypes.c_int()
     if lib.png_peek(path.encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    if not _dims_ok(w.value, h.value):  # untrusted IHDR: bound before alloc
         return None
     flow = np.empty((h.value, w.value, 2), np.float32)
     valid = np.empty((h.value, w.value), np.uint8)
@@ -166,7 +178,7 @@ def kitti_flow_read(path: str):
 def kitti_flow_write(path: str, flow: np.ndarray,
                      valid: Optional[np.ndarray] = None) -> bool:
     lib = _load()
-    if lib is None:
+    if lib is None or not _has_kitti:
         return False
     arr = np.ascontiguousarray(flow, np.float32)
     h, w = arr.shape[:2]
