@@ -31,6 +31,10 @@ from dis_tpu.utils.metrics import epe  # noqa: E402
 TOOL_DIR = os.path.join(ROOT, "tools", "cpp_baseline")
 BIN = os.path.join(TOOL_DIR, "dis_baseline")
 
+REF_DIR = os.path.join(ROOT, "tools", "ref_build")
+REF_BIN = os.path.join(REF_DIR, "ref_probe")
+ZERONEW = os.path.join(REF_DIR, "zeronew.so")
+
 
 def synthetic_pair(h, w, shift, seed):
     from scipy.signal import convolve2d
@@ -60,6 +64,37 @@ def run_cpp(i1, i2, cfg):
              p1, p2, po],
             check=True, capture_output=True, timeout=1800)
         return np.fromfile(po, dtype="<f4").reshape(h, w, 2)
+
+
+def run_reference(i1, i2, cfg, zero_init: bool = True):
+    """Run the ACTUAL reference core (unmodified /root/reference sources
+    linked by tools/ref_build/ref_probe) on raw f32 inputs and return
+    the flow, or None when the binary can't be built (e.g. OpenCV dev
+    headers absent).  ``zero_init=True`` preloads zeronew.so to pin
+    quirk Q2 (uninitialized densification weights) to its evident
+    intent; False runs the UB as-is."""
+    if not os.path.exists(REF_BIN):
+        try:
+            subprocess.run(["make", "-C", REF_DIR], check=True,
+                           capture_output=True, timeout=600)
+        except Exception:
+            return None
+    h, w = i1.shape
+    env = dict(os.environ)
+    if zero_init:
+        env["LD_PRELOAD"] = ZERONEW
+    with tempfile.TemporaryDirectory() as td:
+        p1, p2, po = (os.path.join(td, n) for n in ("a.f32", "b.f32", "o.flo"))
+        i1.astype("<f4").tofile(p1)
+        i2.astype("<f4").tofile(p2)
+        subprocess.run(
+            [REF_BIN, str(w), str(h), str(cfg.iterations),
+             str(cfg.patch_size), str(cfg.coarsest_scale),
+             str(cfg.finest_scale), str(cfg.patch_overlap),
+             str(int(cfg.patch_normalization)), p1, p2, po],
+            check=True, capture_output=True, timeout=1800, env=env)
+        from dis_tpu.utils.flo import load_flo
+        return load_flo(po)
 
 
 def main():
@@ -92,6 +127,8 @@ def main():
                 jnp.asarray(i1), jnp.asarray(i2), cfg))
             cpp = run_cpp(i1, i2, cfg)
             orc = spec.dis_flow_oracle(i1, i2, cfg)
+            ref = run_reference(i1, i2, cfg)          # actual reference core
+            ref_ub = run_reference(i1, i2, cfg, zero_init=False)
 
             m = 12  # borders are unconstrained for any local method
             sl = np.s_[m:-m, m:-m]
@@ -107,6 +144,16 @@ def main():
                 "delta_tpu_vs_oracle": round(
                     float(np.abs(ours[sl] - orc[sl]).mean()), 5),
             }
+            if ref is not None:
+                rec["epe_ref"] = round(masked_epe(ref, gt, valid, m), 4)
+                rec["delta_tpu_vs_ref"] = round(
+                    float(np.abs(ours[sl] - ref[sl]).mean()), 5)
+                rec["delta_ref_vs_oracle"] = round(
+                    float(np.abs(ref[sl] - orc[sl]).mean()), 5)
+            if ref_ub is not None:
+                # the as-is binary (quirk Q2's uninitialized weights LIVE)
+                rec["epe_ref_asis_ub"] = round(
+                    masked_epe(ref_ub, gt, valid, m), 4)
             results.append(rec)
             print(json.dumps(rec), flush=True)
 
@@ -125,6 +172,13 @@ def main():
                "max_abs_epe_diff_vs_cpp": round(worst_epe, 4),
                "max_mean_flow_delta_vs_cpp": worst_delta,
                "pass": bool(worst_epe < 0.1)}
+    with_ref = [r for r in results if "epe_ref" in r]
+    if with_ref:
+        worst_ref = max(abs(r["epe_tpu"] - r["epe_ref"]) for r in with_ref)
+        summary["max_abs_epe_diff_vs_actual_reference"] = round(worst_ref, 4)
+        summary["max_mean_flow_delta_vs_actual_reference"] = max(
+            r["delta_tpu_vs_ref"] for r in with_ref)
+        summary["pass"] = bool(summary["pass"] and worst_ref < 0.1)
     print(json.dumps(summary))
     if args.out:
         with open(args.out, "w") as f:
