@@ -119,6 +119,22 @@ def _refine_full(img1: jnp.ndarray, img2: jnp.ndarray, flow: jnp.ndarray,
     return variational_refinement(pyr1[s].img, pyr2[s].img, flow, cfg)
 
 
+def window_partition(gh: int, n: int):
+    """Partition ``gh`` rows into ``n`` contiguous windows as evenly as
+    possible (first ``gh % n`` windows get one extra row).  Ragged
+    windows are fine for :func:`dis_scale_window` — it takes arbitrary
+    [lo, hi) — so the grid-tiled engines support ANY ``n`` dividing the
+    output height, not just ``height % (n * 2**coarsest) == 0`` (at
+    1080p that constraint admitted only n=3 of the practical sizes)."""
+    base, rem = divmod(gh, n)
+    out, lo = [], 0
+    for i in range(n):
+        hi = lo + base + (1 if i < rem else 0)
+        out.append((lo, hi))
+        lo = hi
+    return out
+
+
 def grid_tiled_flow(img1: jnp.ndarray, img2: jnp.ndarray, cfg: DISConfig,
                     n_parts: int) -> jnp.ndarray:
     """EXACT grid-tiled execution on one controller: images stay whole,
@@ -135,10 +151,9 @@ def grid_tiled_flow(img1: jnp.ndarray, img2: jnp.ndarray, cfg: DISConfig,
     untiled pipeline (tests/test_parallel.py).
     """
     h, w = img1.shape
-    f = 2 ** cfg.coarsest_scale
-    if h % (n_parts * f):
-        raise ValueError(
-            f"height {h} must be divisible by n_parts*{f} = {n_parts * f}")
+    if (h >> cfg.finest_scale) < n_parts:
+        raise ValueError(f"cannot split {h >> cfg.finest_scale} output "
+                         f"rows into {n_parts} parts")
     from ..ops.pyramid import construct_pyramid_auto
     from ..ops.variational import variational_refinement
 
@@ -150,10 +165,8 @@ def grid_tiled_flow(img1: jnp.ndarray, img2: jnp.ndarray, cfg: DISConfig,
     for scale in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
         l1, l2 = pyr1[scale], pyr2[scale]
         gh_s = h >> scale
-        chunk = gh_s // n_parts
-        parts = [dis_scale_window(l1, l2, flow, cfg, scale,
-                                  i * chunk, (i + 1) * chunk)[0]
-                 for i in range(n_parts)]
+        parts = [dis_scale_window(l1, l2, flow, cfg, scale, lo, hi)[0]
+                 for (lo, hi) in window_partition(gh_s, n_parts)]
         flow = jnp.concatenate(parts, axis=0)
         if cfg.refinement_iters > 0 and cfg.refine_per_level:
             flow = refine_level(l1, l2, flow, cfg, scale)
@@ -212,10 +225,14 @@ def grid_tiled_flow_fn(cfg: DISConfig, mesh: Mesh, height: int, width: int,
     from ..ops.variational import variational_refinement
 
     n = mesh.shape[axis]
-    f = 2 ** cfg.coarsest_scale
-    if height % (n * f):
+    if height % n:
         raise ValueError(
-            f"height {height} must be divisible by n_space*{f} = {n * f}")
+            f"height {height} must be divisible by n_space={n} "
+            "(equal image input shards)")
+    if (height >> cfg.finest_scale) % n:
+        raise ValueError(
+            f"output height {height >> cfg.finest_scale} must be "
+            f"divisible by n_space={n} (equal output shards)")
 
     def local(i1, i2):
         idx = lax.axis_index(axis)
@@ -229,18 +246,29 @@ def grid_tiled_flow_fn(cfg: DISConfig, mesh: Mesh, height: int, width: int,
         for scale in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
             l1, l2 = pyr1[scale], pyr2[scale]
             gh_s = height >> scale
-            chunk = gh_s // n
+            wins = window_partition(gh_s, n)
+            cmax = wins[0][1] - wins[0][0]   # first window is the largest
             fc = flow
 
-            def make_branch(i, l1=l1, l2=l2, fc=fc, scale=scale,
-                            chunk=chunk):
+            def make_branch(lo, hi, l1=l1, l2=l2, fc=fc, scale=scale,
+                            cmax=cmax):
                 def branch(_):
-                    return dis_scale_window(l1, l2, fc, cfg, scale,
-                                            i * chunk, (i + 1) * chunk)[0]
+                    part = dis_scale_window(l1, l2, fc, cfg, scale,
+                                            lo, hi)[0]
+                    if hi - lo < cmax:   # ragged: pad for the equal-
+                        part = jnp.pad(  # shard all_gather, drop below
+                            part, ((0, cmax - (hi - lo)), (0, 0), (0, 0)))
+                    return part
                 return branch
 
-            part = lax.switch(idx, [make_branch(i) for i in range(n)], ())
+            part = lax.switch(
+                idx, [make_branch(lo, hi) for (lo, hi) in wins], ())
             flow = lax.all_gather(part, axis, axis=0, tiled=True)
+            if gh_s != n * cmax:   # drop the ragged padding rows
+                flow = jnp.concatenate(
+                    [lax.slice_in_dim(flow, i * cmax, i * cmax + (hi - lo),
+                                      axis=0)
+                     for i, (lo, hi) in enumerate(wins)], axis=0)
             if cfg.refinement_iters > 0 and cfg.refine_per_level:
                 flow = refine_level(l1, l2, flow, cfg, scale)
         if cfg.refinement_iters > 0 and not cfg.refine_per_level:
@@ -273,11 +301,13 @@ def tiled_flow_fn(cfg: DISConfig, mesh: Mesh, height: int, width: int,
     """
     n = mesh.shape[axis]
     f = 2 ** cfg.coarsest_scale
-    if height % (n * f):
-        raise ValueError(
-            f"height {height} must be divisible by n_space*{f} = {n * f}")
     if cfg.refinement_iters > 0 and cfg.refine_per_level:
         return grid_tiled_flow_fn(cfg, mesh, height, width, axis=axis)
+    if height % (n * f):
+        raise ValueError(
+            f"height {height} must be divisible by n_space*{f} = {n * f} "
+            "for stripe tiling (aligned equal stripes); use "
+            "grid_tiled_flow_fn for other splits")
     own_h = height // n
     if halo is None:
         halo = min_stripe_halo(cfg, width, height, n)

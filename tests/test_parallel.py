@@ -179,6 +179,36 @@ def test_grid_tiled_finest_scale_1_compat():
     np.testing.assert_array_equal(got, want)
 
 
+def test_grid_tiled_ragged_windows_bitwise():
+    """Ragged per-scale windows (round-4: the grid-tiled engines accept
+    any n dividing the output height, not only height % (n*2^coarsest)
+    == 0 — at 1080p the old constraint admitted only n=3).  h=72 with
+    coarsest=2 makes the coarsest grid 18 rows: n=4 -> (5,5,4,4),
+    n=8 -> (3,3,2,2,2,2,2,2).  Both the one-controller and the
+    shard_map engines must stay bitwise equal to the untiled pipeline,
+    including the padded all_gather + reassembly path."""
+    from dis_tpu.parallel import grid_tiled_flow_fn
+
+    import functools
+
+    h, w = 72, 96
+    i1, i2 = synthetic_pair(h, w, shift=(2.0, 1.0), seed=3)
+    i1, i2 = jnp.asarray(i1), jnp.asarray(i2)
+    want = np.asarray(_jfp(i1, i2, CFG))
+    for n in (4, 5, 8):
+        # jitted like every production path: eager per-op execution can
+        # differ from the jitted untiled pipeline in ulps (fusion
+        # context), independent of tiling.
+        fn = jax.jit(functools.partial(grid_tiled_flow, cfg=CFG, n_parts=n))
+        got = np.asarray(fn(i1, i2))
+        np.testing.assert_array_equal(got, want)
+    for n in (4, 8):
+        mesh = make_mesh((1, n), axis_names=("batch", "space"))
+        fn = grid_tiled_flow_fn(CFG, mesh, h, w)
+        got = np.asarray(fn(i1, i2))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_grid_tiled_host_level_bitwise():
     """Host-level grid-tiled execution (one controller, no shard_map)
     is bitwise for both refinement placements and plain configs."""
