@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""TPU serving round-trip proof (round-3 VERDICT weak item #5).
+
+``dis_tpu/serving.py`` claims a TPU ``jax.export`` artifact embeds the
+Mosaic (Pallas) kernels and reloads in a fresh process with no Python
+tracing of the pipeline.  ``tests/test_serving.py`` exercises the CPU
+path only; this tool backs the TPU claim with an artifact:
+
+  1. Export the flagship program (DIS-fast, 1080p padded bucket
+     1088x1920, compat mode — the bench.py headline config) ON THE
+     CHIP; verify the serialized bytes contain the Mosaic custom calls.
+  2. In a FRESH process, deserialize + run it: record first-call wall
+     time (deserialize + XLA compile of the embedded StableHLO +
+     execute — no Python tracing of dis_tpu code; the child never
+     imports the pipeline) and steady-state per-call time via the
+     chained device-side harness (benchmarks/timing.py).
+  3. Compare the reloaded program's flow BITWISE against the live
+     ``dis_flow_jit`` run in the exporting process (same chip, same
+     lowering -> must match exactly).
+
+Writes SERVING_r04.json.  Run when the single-tenant chip is free.
+Reference deployment story being replaced: re-running the CLI binary
+per sequence, /root/reference/src/main.cpp:102-209.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+H, W = 1088, 1920  # padded-1080p bucket (divisible by 2**coarsest)
+
+CHILD = r"""
+import sys, time
+t_start = time.perf_counter()
+import numpy as np
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+artifact_path, img_path, out_path = sys.argv[1:4]
+with open(artifact_path, "rb") as f:
+    data = f.read()
+exp = jax.export.deserialize(bytearray(data))
+d = np.load(img_path)
+a = jnp.asarray(d["img1"]); b = jnp.asarray(d["img2"])
+
+t0 = time.perf_counter()
+flow = np.asarray(exp.call(a, b))   # first call: compile + execute + fetch
+first_call_s = time.perf_counter() - t0
+
+from benchmarks.timing import chained_seconds, measure_rtt
+steady_s = chained_seconds(lambda x, y: exp.call(x, y).sum(), a, b,
+                           chain=8, reps=3)
+np.savez(out_path, flow=flow,
+         first_call_s=first_call_s, steady_s=steady_s,
+         import_to_first_s=time.perf_counter() - t_start)
+"""
+
+
+def main():
+    import jax
+    if jax.default_backend() == "cpu":
+        print("ERROR: no TPU visible; run on the chip.")
+        return 2
+
+    import jax.numpy as jnp
+    from dis_tpu.config import PRESETS
+    from dis_tpu.models.dis import dis_flow_jit
+    from dis_tpu.serving import export_flow
+    from dis_tpu.utils import synth
+
+    cfg = dataclasses.replace(PRESETS["fast"], mode="compat")
+    img1, img2, _, _ = synth.make_pair("natural_warp", H, W)
+
+    print("== exporting flagship program (DIS-fast compat, 1088x1920) ==")
+    t0 = time.perf_counter()
+    data = export_flow(cfg, H, W)
+    export_s = time.perf_counter() - t0
+    mosaic_embedded = (data.count(b"tpu_custom_call") > 0
+                       or data.count(b"mosaic") > 0)
+    print(f"   {len(data)/1e6:.2f} MB in {export_s:.1f}s, "
+          f"mosaic_embedded={mosaic_embedded}")
+
+    print("== live in-process flow (bitwise reference) ==")
+    live = np.asarray(dis_flow_jit(jnp.asarray(img1), jnp.asarray(img2), cfg))
+
+    with tempfile.TemporaryDirectory() as td:
+        art = os.path.join(td, "dis_fast_1080p.jaxexp")
+        imgs = os.path.join(td, "imgs.npz")
+        outp = os.path.join(td, "out.npz")
+        with open(art, "wb") as f:
+            f.write(data)
+        np.savez(imgs, img1=img1, img2=img2)
+        print("== fresh-process reload + run ==")
+        r = subprocess.run([sys.executable, "-c", CHILD, art, imgs, outp],
+                           capture_output=True, text=True,
+                           env=dict(os.environ))
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr)
+            return 1
+        d = np.load(outp)
+        reloaded = d["flow"]
+        out = {
+            "config": "fast/compat",
+            "bucket": [H, W],
+            "artifact_bytes": len(data),
+            "mosaic_embedded": bool(mosaic_embedded),
+            "export_s": round(export_s, 2),
+            "fresh_process": {
+                "first_call_s": round(float(d["first_call_s"]), 3),
+                "steady_state_ms_per_frame": round(
+                    float(d["steady_s"]) * 1e3, 3),
+                "import_to_first_flow_s": round(
+                    float(d["import_to_first_s"]), 3),
+            },
+            "reload_vs_live": {
+                "bitwise": bool((reloaded == live).all()),
+                "max_abs_diff_px": float(np.abs(reloaded - live).max()),
+            },
+        }
+
+    out["ok"] = (out["mosaic_embedded"]
+                 and out["reload_vs_live"]["max_abs_diff_px"] < 1e-5)
+    path = "/root/repo/SERVING_r04.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    print("OK" if out["ok"] else "FAILED", "->", path)
+    return 0 if out["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
