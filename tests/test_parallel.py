@@ -47,6 +47,7 @@ def test_device_count():
     assert jax.device_count() == 8
 
 
+@pytest.mark.slow
 def test_batched_matches_serial():
     a, b = _pairs(8, 24, 32)
     mesh = make_mesh((8, 1))
@@ -72,6 +73,7 @@ def test_batched_epe_psum():
     assert float(mean_epe) == pytest.approx(np.mean(per), rel=1e-4)
 
 
+@pytest.mark.slow
 def test_tiled_matches_untiled_everywhere():
     """Exact tiling: the 4-device shard_map output equals the untiled
     pipeline BITWISE at every pixel — no seam band, no tolerance."""
@@ -101,6 +103,7 @@ def test_tiled_exact_large_motion():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_tiled_8_stripes_matches_untiled():
     """All 8 mesh devices: ppermute-halo mode with the deduped switch
     (interior stripes share one branch program — round-2 VERDICT item
@@ -116,6 +119,7 @@ def test_tiled_8_stripes_matches_untiled():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_tiled_with_refinement_matches_untiled():
     """Final-scale refinement is gathered and run globally — tiled ==
     untiled bitwise (needs the refinement-scan unroll)."""
@@ -130,6 +134,7 @@ def test_tiled_with_refinement_matches_untiled():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_grid_tiled_per_level_refinement_matches_untiled():
     """Round-2 VERDICT item #1: per-level variational refinement under
     tiling.  tiled_flow_fn routes refine_per_level configs through the
@@ -149,6 +154,7 @@ def test_grid_tiled_per_level_refinement_matches_untiled():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_dis_medium_preset_runs_tiled():
     """The DIS_MEDIUM quality preset (per-level refinement, the config
     round 2 could not tile) runs under tiled_flow_fn and matches the
@@ -179,6 +185,7 @@ def test_grid_tiled_finest_scale_1_compat():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_grid_tiled_ragged_windows_bitwise():
     """Ragged per-scale windows (round-4: the grid-tiled engines accept
     any n dividing the output height, not only height % (n*2^coarsest)
@@ -209,6 +216,7 @@ def test_grid_tiled_ragged_windows_bitwise():
         np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_grid_tiled_host_level_bitwise():
     """Host-level grid-tiled execution (one controller, no shard_map)
     is bitwise for both refinement placements and plain configs."""
@@ -287,6 +295,7 @@ def test_sequence_pair_sharded_no_dummy_slot():
 
 
 @pytest.mark.parametrize("mode", ["compat", "fixed"])
+@pytest.mark.slow
 def test_vmap_pipeline_matches_per_element(mode):
     """jax.vmap over the full Pallas pipeline (single-chip batched
     pairs, suite config 3b) must equal per-element runs bitwise.  The

@@ -161,6 +161,7 @@ def test_jit_and_early_exit_equivalence(small_pair):
     np.testing.assert_allclose(f1, f2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_unpadded_input_shapes():
     r = np.random.default_rng(7)
     i1 = (r.random((30, 41)) * 255).astype(np.float32)

@@ -18,6 +18,7 @@ CFG = DISConfig(iterations=8, coarsest_scale=2, patch_overlap=0.5,
                 early_exit=False)
 
 
+@pytest.mark.slow
 def test_stripe_full_extent_matches_untiled():
     # Stripe == whole image: pure window/rebase plumbing check.
     h, w = 160, 64
@@ -29,6 +30,7 @@ def test_stripe_full_extent_matches_untiled():
     np.testing.assert_allclose(got, want[48:112], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stripe_with_halo_matches_untiled():
     # A genuine sub-stripe with a truncated top halo.
     h, w = 384, 48
@@ -41,6 +43,7 @@ def test_stripe_with_halo_matches_untiled():
     np.testing.assert_allclose(got, want[192:256], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stripe_bottom_edge():
     h, w = 384, 48
     i1, i2 = synthetic_pair(h, w, shift=(1.0, -1.0), seed=15)
@@ -61,6 +64,7 @@ def test_stripe_halo_validation():
             row0=96, own_r0=96, own_h=32, global_h=h)
 
 
+@pytest.mark.slow
 def test_stripe_ignores_refinement_fields():
     """Refinement is a global stencil owned by the tiling layer;
     dis_flow_stripe neutralizes the config's refinement fields instead
@@ -80,6 +84,7 @@ def test_stripe_ignores_refinement_fields():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_tiled_flow_exact_full_frame():
     from dis_tpu.parallel import tiled_flow_exact, min_stripe_halo
 
