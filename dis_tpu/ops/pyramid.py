@@ -17,11 +17,19 @@ import jax.numpy as jnp
 from . import image as im
 
 
-# Largest input (pixels) routed to the Pallas level kernel in "auto"
-# mode: ~1080p and below.  The 4K-size kernel crashes the TPU compiler
-# (bisected; see construct_pyramid_auto docstring) and its 1080p win is
-# only ~0.2 ms, so larger frames take the bit-identical XLA recipe.
+# Largest input (pixels / width) routed to the Pallas level kernel in
+# "auto" mode: ~1080p and below.  The 4K-size kernel crashes the TPU
+# compiler (bisected; see construct_pyramid_auto docstring) and its
+# 1080p win is only ~0.2 ms, so larger frames take the bit-identical
+# XLA recipe.  The width gate covers 4K-wide STRIPES (row-tiled 4K
+# frames whose pixel count slips under the pixel gate): inside a while
+# body XLA may place the kernel's output tuple in scoped VMEM, and at
+# width 3840 two such outputs alone exceed the 16 MB scoped limit
+# (observed on chip: "Ran out of memory in memory space vmem ...
+# f32[512,3856] x3 custom-call" for a 472-row stripe that compiles
+# fine standalone).
 _PALLAS_PYRAMID_MAX_PIXELS = 1088 * 1920
+_PALLAS_PYRAMID_MAX_WIDTH = 1920
 
 
 class PyramidLevel(NamedTuple):
@@ -58,7 +66,8 @@ def construct_pyramid_auto(img: jnp.ndarray, coarsest_scale: int,
     import jax
 
     mode = os.environ.get("DIS_TPU_PYRAMID", "auto")
-    pallas_ok = img.shape[0] * img.shape[1] <= _PALLAS_PYRAMID_MAX_PIXELS
+    pallas_ok = (img.shape[0] * img.shape[1] <= _PALLAS_PYRAMID_MAX_PIXELS
+                 and img.shape[1] <= _PALLAS_PYRAMID_MAX_WIDTH)
     if mode == "xla":
         use_pallas = False
     elif mode == "pallas":
