@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=["compat", "fixed"], default="compat")
     p.add_argument("--refine", type=int, default=0, metavar="ITERS",
                    help="variational refinement iterations (paper step)")
+    p.add_argument("--refine-planes", choices=["q1", "intensity"],
+                   default=None,
+                   help="refinement data term: the pipeline's Q1 "
+                        "gradient-magnitude levels, or the raw-intensity "
+                        "resize chain the DIS paper reads (better EPE on "
+                        "nonrigid motion; config.py::refinement_planes)")
     p.add_argument("--save-flo", action="store_true",
                    help="also write Middlebury .flo files")
     p.add_argument("--gt-dir", default=None,
@@ -135,6 +141,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             refinement_iters=args.refine,
             early_exit=not args.no_early_exit,
         )
+    if args.refine_planes:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, refinement_planes=args.refine_planes)
 
     out_dir = args.out_dir or f"OF_{args.folder}"
     os.makedirs(out_dir, exist_ok=True)

@@ -98,6 +98,20 @@ class DISConfig:
     #               VariationalRefinement).  1/6th the gather work; the
     #               warp dominates refinement cost on TPU.
     refinement_scheme: str = "planes6"
+    # Which image planes the refinement's data term reads:
+    #   "q1"        — the pipeline's gradient-magnitude pyramid levels
+    #                 (quirk Q1, main.cpp:18-29), consistent with what
+    #                 the patch search matched.
+    #   "intensity" — an OpenCV-resize chain of the RAW input image
+    #                 (what the DIS paper's refinement actually uses).
+    #                 Measured on the synthetic families (384x512,
+    #                 DIS_MEDIUM): natural_warp 0.0988 -> 0.0656,
+    #                 smooth_warp 0.0380 -> 0.0328 px — the magnitude
+    #                 image turns step edges into thin ridges whose
+    #                 subpixel bilinear data term is poorly conditioned,
+    #                 biasing flow across the edge; the intensity data
+    #                 term does not (round-4 VERDICT item #7 analysis).
+    refinement_planes: str = "q1"
     early_exit: bool = True
     conv_eps: float = 0.01
 
@@ -112,6 +126,10 @@ class DISConfig:
             raise ValueError(
                 f"refinement_scheme must be 'planes6' or 'warp1', "
                 f"got {self.refinement_scheme!r}")
+        if self.refinement_planes not in ("q1", "intensity"):
+            raise ValueError(
+                f"refinement_planes must be 'q1' or 'intensity', "
+                f"got {self.refinement_planes!r}")
         if self.patch_size % 2 != 0:
             raise ValueError("patch_size must be even (reference uses ps/2 offsets)")
         if self.finest_scale > self.coarsest_scale:

@@ -20,7 +20,7 @@ from ..ops import image as im
 from ..ops import iclk
 from ..ops.densify import densify
 from ..ops.grid import make_grid, init_from_coarser_flow
-from ..ops.pyramid import construct_pyramid_auto
+from ..ops.pyramid import construct_pyramid_auto, intensity_pyramid
 from ..ops.variational import variational_refinement
 
 
@@ -62,16 +62,36 @@ def window_patch_rows(cfg: DISConfig, gh_s: int, win_lo: int,
     return iy0, iy1
 
 
+def build_refinement_planes(img1_padded: jnp.ndarray,
+                            img2_padded: jnp.ndarray, cfg: DISConfig):
+    """Per-scale intensity planes for the refinement data term, or None
+    when refinement reads the Q1 pyramid levels (or is disabled).  The
+    returned pair of lists is indexed by scale and passed through
+    :func:`refine_level` / the final-scale refinement unchanged in the
+    untiled and tiled engines (identical program => bitwise-identical
+    results across modes).  See config.py::refinement_planes."""
+    if cfg.refinement_iters == 0 or cfg.refinement_planes == "q1":
+        return None
+    return (intensity_pyramid(img1_padded, cfg.coarsest_scale),
+            intensity_pyramid(img2_padded, cfg.coarsest_scale))
+
+
 def refine_level(l1, l2, flow: jnp.ndarray, cfg: DISConfig,
-                 scale: int) -> jnp.ndarray:
+                 scale: int, planes=None) -> jnp.ndarray:
     """Per-level variational refinement at ``scale``, shared by the
     untiled, grid-tiled and host-tiled pipelines (identical program =>
     bitwise-identical results across modes).  With
     ``cfg.refined_init_clamp`` the refined field is clamped to the Q9
     policing-chain bound ``motion_bound(cfg, scale)``, restoring the
     static |init| bound the banded 4K extraction path needs (see
-    config.py::refined_init_clamp)."""
-    flow = variational_refinement(l1.img, l2.img, flow, cfg)
+    config.py::refined_init_clamp).  ``planes`` is the output of
+    :func:`build_refinement_planes` (intensity data term) or None
+    (Q1 magnitude levels)."""
+    if planes is None:
+        flow = variational_refinement(l1.img, l2.img, flow, cfg)
+    else:
+        flow = variational_refinement(planes[0][scale], planes[1][scale],
+                                      flow, cfg, pad=0)
     if cfg.refined_init_clamp:
         b = jnp.float32(motion_bound(cfg, scale))
         flow = jnp.clip(flow, -b, b)
@@ -154,6 +174,7 @@ def dis_flow_padded(img1: jnp.ndarray, img2: jnp.ndarray,
         pyr2 = construct_pyramid_auto(img2, cfg.coarsest_scale,
                                       cfg.img_padding, cfg.kernel)
 
+    planes = build_refinement_planes(img1, img2, cfg)
     flow = None
     debug = []
     for scale in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
@@ -167,7 +188,7 @@ def dis_flow_padded(img1: jnp.ndarray, img2: jnp.ndarray,
                 # DIS paper sec. 3.3: refine the densified flow at every
                 # scale; the refined field seeds the next-finer init.
                 with jax.named_scope(f"refine_s{scale}"):
-                    flow = refine_level(l1, l2, flow, cfg, scale)
+                    flow = refine_level(l1, l2, flow, cfg, scale, planes)
             if return_debug:
                 p = cfg.img_padding
                 debug.append((scale, geom.centers, res.u,
@@ -176,9 +197,12 @@ def dis_flow_padded(img1: jnp.ndarray, img2: jnp.ndarray,
     if cfg.refinement_iters > 0 and not cfg.refine_per_level:
         with jax.named_scope("variational_refinement"):
             s = cfg.finest_scale
-            lvl1, lvl2 = pyr1[s], pyr2[s]
-            flow = variational_refinement(
-                lvl1.img, lvl2.img, flow, cfg)
+            if planes is None:
+                flow = variational_refinement(
+                    pyr1[s].img, pyr2[s].img, flow, cfg)
+            else:
+                flow = variational_refinement(
+                    planes[0][s], planes[1][s], flow, cfg, pad=0)
     from ..utils import checks
     if checks.enabled():
         checks.check(jnp.isfinite(flow).all(),

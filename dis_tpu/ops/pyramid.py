@@ -157,3 +157,24 @@ def _barrier_levels(levels: "List[PyramidLevel]") -> "List[PyramidLevel]":
         out.append(PyramidLevel(img=i_, dx=dx_, dy=dy_,
                                 width=l.width, height=l.height))
     return out
+
+
+def intensity_pyramid(img: jnp.ndarray, coarsest_scale: int) -> list:
+    """Raw-intensity OpenCV-resize chain ``[img, img/2, ...]`` (unpadded
+    planes, one per scale) for ``refinement_planes="intensity"``
+    (config.py): the DIS paper's variational refinement reads the
+    intensity image, whereas the reference's pyramid levels are
+    gradient-magnitude planes (quirk Q1, main.cpp:18-29).  Uses the same
+    INTER_LINEAR x0.5 decimation as the Q1 levels, so tiled and untiled
+    pipelines derive bit-identical planes.  The planes carry the same
+    fusion fence as the Q1 levels (_BARRIER note above): they feed the
+    refinement whose output seeds the next scale's search, so context-
+    dependent fusion would break bitwise tiled == untiled."""
+    from jax import lax
+
+    out = [img]
+    for _ in range(coarsest_scale):
+        out.append(im.resize_half(out[-1]))
+    if _BARRIER:
+        out = list(lax.optimization_barrier(tuple(out)))
+    return out

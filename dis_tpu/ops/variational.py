@@ -172,15 +172,19 @@ def _psi_deriv(s2: jnp.ndarray, eps2: float) -> jnp.ndarray:
 
 
 def variational_refinement(img1_padded: jnp.ndarray, img2_padded: jnp.ndarray,
-                           flow: jnp.ndarray, cfg: DISConfig) -> jnp.ndarray:
-    """Refine ``flow`` [h, w, 2] given the padded level images.
+                           flow: jnp.ndarray, cfg: DISConfig,
+                           pad: int = None) -> jnp.ndarray:
+    """Refine ``flow`` [h, w, 2] given the level image planes.
 
-    Operates on the same gradient-magnitude planes the rest of the
-    pipeline uses (quirk Q1 keeps the data term consistent with the
-    patch search).
+    ``pad`` is the border width to slice off the planes (default
+    ``cfg.img_padding``, matching the Q1 pyramid levels; pass 0 for the
+    exact-size intensity planes of ``refinement_planes="intensity"``).
+    With the default Q1 planes the data term is consistent with what
+    the patch search matched; with intensity planes it is what the DIS
+    paper's refinement reads (see config.py::refinement_planes).
     """
     h, w = flow.shape[:2]
-    p = cfg.img_padding
+    p = cfg.img_padding if pad is None else pad
     I1 = img1_padded[p:p + h, p:p + w]
     I2 = img2_padded[p:p + h, p:p + w]
 

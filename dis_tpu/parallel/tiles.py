@@ -107,11 +107,17 @@ def min_stripe_halo(cfg: DISConfig, width: int, height: int, n: int) -> int:
 def _refine_full(img1: jnp.ndarray, img2: jnp.ndarray, flow: jnp.ndarray,
                  cfg: DISConfig) -> jnp.ndarray:
     """Full-frame variational refinement exactly as ``dis_flow_padded``
-    runs it: on the finest-scale pyramid images (quirk-Q1 planes)."""
+    runs it: on the finest-scale pyramid images (quirk-Q1 planes), or on
+    the intensity chain when ``cfg.refinement_planes == "intensity"``."""
+    from ..models.dis import build_refinement_planes
     from ..ops.pyramid import construct_pyramid_auto
     from ..ops.variational import variational_refinement
 
     s = cfg.finest_scale
+    planes = build_refinement_planes(img1, img2, cfg)
+    if planes is not None:
+        return variational_refinement(planes[0][s], planes[1][s], flow,
+                                      cfg, pad=0)
     pyr1 = construct_pyramid_auto(img1, cfg.coarsest_scale,
                                   cfg.img_padding, cfg.kernel)
     pyr2 = construct_pyramid_auto(img2, cfg.coarsest_scale,
@@ -154,6 +160,7 @@ def grid_tiled_flow(img1: jnp.ndarray, img2: jnp.ndarray, cfg: DISConfig,
     if (h >> cfg.finest_scale) < n_parts:
         raise ValueError(f"cannot split {h >> cfg.finest_scale} output "
                          f"rows into {n_parts} parts")
+    from ..models.dis import build_refinement_planes
     from ..ops.pyramid import construct_pyramid_auto
     from ..ops.variational import variational_refinement
 
@@ -161,6 +168,7 @@ def grid_tiled_flow(img1: jnp.ndarray, img2: jnp.ndarray, cfg: DISConfig,
                                   cfg.img_padding, cfg.kernel)
     pyr2 = construct_pyramid_auto(img2, cfg.coarsest_scale,
                                   cfg.img_padding, cfg.kernel)
+    planes = build_refinement_planes(img1, img2, cfg)
     flow = None
     for scale in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
         l1, l2 = pyr1[scale], pyr2[scale]
@@ -169,10 +177,15 @@ def grid_tiled_flow(img1: jnp.ndarray, img2: jnp.ndarray, cfg: DISConfig,
                  for (lo, hi) in window_partition(gh_s, n_parts)]
         flow = jnp.concatenate(parts, axis=0)
         if cfg.refinement_iters > 0 and cfg.refine_per_level:
-            flow = refine_level(l1, l2, flow, cfg, scale)
+            flow = refine_level(l1, l2, flow, cfg, scale, planes)
     if cfg.refinement_iters > 0 and not cfg.refine_per_level:
         s = cfg.finest_scale
-        flow = variational_refinement(pyr1[s].img, pyr2[s].img, flow, cfg)
+        if planes is not None:
+            flow = variational_refinement(planes[0][s], planes[1][s],
+                                          flow, cfg, pad=0)
+        else:
+            flow = variational_refinement(pyr1[s].img, pyr2[s].img,
+                                          flow, cfg)
     return flow
 
 
@@ -235,6 +248,8 @@ def grid_tiled_flow_fn(cfg: DISConfig, mesh: Mesh, height: int, width: int,
             f"divisible by n_space={n} (equal output shards)")
 
     def local(i1, i2):
+        from ..models.dis import build_refinement_planes
+
         idx = lax.axis_index(axis)
         f1 = lax.all_gather(i1, axis, axis=0, tiled=True)
         f2 = lax.all_gather(i2, axis, axis=0, tiled=True)
@@ -242,6 +257,7 @@ def grid_tiled_flow_fn(cfg: DISConfig, mesh: Mesh, height: int, width: int,
                                       cfg.img_padding, cfg.kernel)
         pyr2 = construct_pyramid_auto(f2, cfg.coarsest_scale,
                                       cfg.img_padding, cfg.kernel)
+        planes = build_refinement_planes(f1, f2, cfg)
         flow = None
         for scale in range(cfg.coarsest_scale, cfg.finest_scale - 1, -1):
             l1, l2 = pyr1[scale], pyr2[scale]
@@ -270,11 +286,15 @@ def grid_tiled_flow_fn(cfg: DISConfig, mesh: Mesh, height: int, width: int,
                                       axis=0)
                      for i, (lo, hi) in enumerate(wins)], axis=0)
             if cfg.refinement_iters > 0 and cfg.refine_per_level:
-                flow = refine_level(l1, l2, flow, cfg, scale)
+                flow = refine_level(l1, l2, flow, cfg, scale, planes)
         if cfg.refinement_iters > 0 and not cfg.refine_per_level:
             s = cfg.finest_scale
-            flow = variational_refinement(pyr1[s].img, pyr2[s].img,
-                                          flow, cfg)
+            if planes is not None:
+                flow = variational_refinement(planes[0][s], planes[1][s],
+                                              flow, cfg, pad=0)
+            else:
+                flow = variational_refinement(pyr1[s].img, pyr2[s].img,
+                                              flow, cfg)
         fs = cfg.finest_scale
         own = (height >> fs) // n
         return lax.dynamic_slice_in_dim(flow, idx * own, own, axis=0)
