@@ -180,12 +180,16 @@ def pyramid_level_pallas(cur: jnp.ndarray, p: int, base: bool,
         _level_kernel, base=base, h=h, w=w, p=p,
         obh=obh, sh=sh, wp=wp, wout=wout)
 
-    # sequential_vmap: under jax.vmap (batched pairs, suite config 3b /
-    # parallel.batch) the call lowers to a lax.map over batch elements —
-    # the ANY-space whole-image BlockSpec cannot be batched directly
-    # (Mosaic rejects non-trivial blocking there; caught on chip, CPU
-    # interpret tests don't exercise the restriction).
-    @jax.custom_batching.sequential_vmap
+    # custom_vmap: under jax.vmap (batched pairs, suite config 3b /
+    # parallel.batch) the ANY-space whole-image BlockSpec cannot be
+    # batched by Mosaic, and the sequential_vmap lax.map this used to
+    # lower to re-copies three [B, hout, wout] outputs through a
+    # dynamic-update-slice per pair per level (pure glue waste; round-4
+    # batch trace).  The batched rule below routes through the XLA
+    # level recipe instead — natively batched convs, and BITWISE equal
+    # to this kernel per tests/test_pallas_pyramid.py, so batched ==
+    # serial stays exact.
+    @jax.custom_batching.custom_vmap
     def run(padded_in):
         return pl.pallas_call(
             kern,
@@ -210,6 +214,31 @@ def pyramid_level_pallas(cur: jnp.ndarray, p: int, base: bool,
             ],
             interpret=interpret,
         )(padded_in)
+
+    @run.def_vmap
+    def _run_vmap(axis_size, in_batched, padded_b):
+        from .. import image as im_
+
+        if not in_batched[0]:
+            padded_b = jnp.broadcast_to(padded_b[None],
+                                        (axis_size,) + padded_b.shape)
+        # The prolog's reflect/zero pads are pure copies, so the level
+        # input is recovered exactly; the XLA recipe then reproduces the
+        # kernel's outputs bitwise (same per-element operation order).
+        cur_b = padded_b[:, 2:2 + h, 2:2 + w]
+
+        def one(cur_):
+            m = im_.gradient_magnitude(cur_) if base else cur_
+            ip = im_.replicate_pad(m, p, p, p, p)
+            dx = im_.constant_pad(im_.sobel3(m, "x"), p, p, p, p)
+            dy = im_.constant_pad(im_.sobel3(m, "y"), p, p, p, p)
+            # Match the kernel's band-rounded output rows; the caller
+            # slices [:hout], so the zero rows are never observed.
+            padr = ((0, nb * obh - hout), (0, 0))
+            return (jnp.pad(ip, padr), jnp.pad(dx, padr),
+                    jnp.pad(dy, padr))
+
+        return jax.vmap(one)(cur_b), (True, True, True)
 
     out_img, out_dx, out_dy = run(padded)
     return out_img[:hout], out_dx[:hout], out_dy[:hout]

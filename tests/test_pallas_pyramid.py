@@ -108,3 +108,24 @@ def test_auto_mode_size_gate(monkeypatch):
     assert calls["use_pallas"] is True
     pyr.construct_pyramid_auto(big, 3, 8, kernel="pallas")
     assert calls["use_pallas"] is False
+
+
+@pytest.mark.parametrize("base", [True, False])
+def test_level_kernel_vmap_rule_bitwise(base):
+    """The custom_vmap batching rule (XLA level recipe, used for batched
+    pairs) is bitwise equal to per-example kernel calls — so batched
+    pipelines stay exact vs serial (round-4 batch glue)."""
+    rngs = [_rng(s) for s in (3, 4, 5)]
+    curs = jnp.stack([jnp.asarray(r.random((56, 72)).astype(np.float32) * 255)
+                      for r in rngs])
+    fn = lambda c: pyramid_level_pallas(c, 8, base=base, interpret=True)
+    # Compare the JITTED forms, as the pipeline runs them: the base
+    # level's magnitude chain is only bit-stable in its jit-fused form
+    # (see test_level_kernel_base_bitwise).
+    batched = jax.jit(jax.vmap(fn))(curs)
+    serial_fn = jax.jit(fn)
+    for b in range(3):
+        serial = serial_fn(curs[b])
+        for got, want in zip(batched, serial):
+            np.testing.assert_array_equal(np.asarray(got[b]),
+                                          np.asarray(want))
