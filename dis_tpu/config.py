@@ -217,6 +217,9 @@ DIS_FULL = DISConfig(
     refinement_iters=1, refine_per_level=True,
     refinement_inner_sweeps=10, refinement_sor_sweeps=5,
     refinement_omega=1.6,
+    # Same round-4 sweep as DIS_MEDIUM: mean family EPE 0.0337 ->
+    # 0.0183 (natural_warp 0.1096 -> 0.0543), every family improving.
+    refinement_planes="intensity", refinement_alpha=40.0,
 )
 
 DIS_COMPAT_DEFAULT = DISConfig()
