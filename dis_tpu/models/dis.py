@@ -34,11 +34,14 @@ def _fixed_weights(res, tpl, cfg: DISConfig) -> jnp.ndarray:
     patches get a defined constant weight of 1.0 instead (mirrored in
     oracle/reference_semantics.py so pipeline == oracle).
     """
+    from ..ops.iclk import pairwise_sum
+
     ps2 = cfg.num_points_patch
     Tn = tpl.T
     if cfg.patch_normalization:
-        Tn = Tn - Tn.sum(1, keepdims=True) / ps2
-    r2 = ((res.Q - Tn) ** 2).sum(axis=1)
+        # pairwise_sum: association-forced so batched == serial bitwise
+        Tn = Tn - pairwise_sum(Tn)[:, None] / ps2
+    r2 = pairwise_sum((res.Q - Tn) ** 2)
     return jnp.where(res.start_oob, jnp.float32(1.0),
                      1.0 / jnp.maximum(1.0, r2))
 

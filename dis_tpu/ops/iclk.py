@@ -53,6 +53,41 @@ class PatchTemplates(NamedTuple):
     Hinv: jnp.ndarray   # [N, 2, 2] inverse 2x2 Hessian
 
 
+def pairwise_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Sum over the last axis with a FORCED pairwise association tree.
+
+    ``jnp.sum`` leaves the association to the compiler AND the program
+    context: the identical Hessian reduction compiled 1 ulp different
+    under ``jax.vmap`` (batched pairs) than serial on chip, which the
+    search's discrete policing then amplified into real flow diffs
+    (round 4).  Two-element reductions have no association freedom, so
+    a log2 chain of trailing-pair reductions is bit-stable in every
+    program context — this is what makes batched == serial bitwise.
+    Odd lengths are zero-padded (x + 0.0 == x in f32 for every x except
+    -0.0 -> +0.0, which compares equal and adds identically).
+
+    The entry barrier is load-bearing too: the summand is typically a
+    product (Tdx*Tdx, residual^2), and XLA fuses producer multiplies
+    into the first add level as FMAs — picking different operands in
+    different contexts (confirmed on chip: Hinv still differed batched
+    vs serial with the tree alone).  Materializing the summand forces
+    plain adds everywhere.
+    """
+    x = lax.optimization_barrier(x)
+    while x.shape[-1] > 1:
+        k = x.shape[-1]
+        if k % 2:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 1)])
+            k += 1
+        x = x.reshape(x.shape[:-1] + (k // 2, 2))
+        # explicit binary add, NOT .sum(-1): a chain of trailing-pair
+        # REDUCE ops is re-foldable into one reduce whose order is
+        # implementation-defined again (observed on chip: the tree
+        # alone changed nothing); an add's float semantics are fixed.
+        x = x[..., 0] + x[..., 1]
+    return x[..., 0]
+
+
 def extract_templates(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
                       centers: jnp.ndarray, ps: int, pad: int) -> PatchTemplates:
     """Template extraction at rounded centers + Hessian (patch.cpp:47-91).
@@ -72,9 +107,9 @@ def extract_templates(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
     Tdx = jnp.take(dx.ravel(), idx, axis=0)
     Tdy = jnp.take(dy.ravel(), idx, axis=0)
 
-    a = (Tdx * Tdx).sum(axis=1)
-    b = (Tdx * Tdy).sum(axis=1)
-    c = (Tdy * Tdy).sum(axis=1)
+    a = pairwise_sum(Tdx * Tdx)
+    b = pairwise_sum(Tdx * Tdy)
+    c = pairwise_sum(Tdy * Tdy)
     det = a * c - b * b
     guard = jnp.where(det == 0, jnp.float32(1e-10), jnp.float32(0.0))
     a = a + guard
@@ -153,9 +188,34 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
                         rows[j], (0, 0, i),
                         (3, geom.num_h, i + (geom.num_w - 1) * s + 1),
                         (1, 1, s)))                     # [3, nh, nw]
+        # Hessian sums as an association-forced pair tree over the tap
+        # LIST: pure elementwise adds on [nh, nw] planes — no stacks,
+        # no relayouts (pairwise_sum's trailing-dim-2 slices tile a
+        # 2-wide minor dim and cost ~1 ms/frame at 1080p; a tap-major
+        # stack + transpose costs ~0.5 ms).  Pairing (0,1)(2,3)... per
+        # level matches pairwise_sum, so the float adds — and results —
+        # are identical to the [N, ps*ps] tree bitwise.  The barrier
+        # stops XLA from refusing the products into first-level FMAs
+        # (operand choice is context-dependent; chip round 4).
+        def tap_tree(vals):
+            vals = list(lax.optimization_barrier(tuple(vals)))
+            while len(vals) > 1:
+                if len(vals) % 2:
+                    vals.append(jnp.zeros_like(vals[0]))
+                vals = [vals[i] + vals[i + 1]
+                        for i in range(0, len(vals), 2)]
+            return vals[0]
+
+        dxs = [t[1] for t in taps]
+        dys = [t[2] for t in taps]
+        abc = [tap_tree([x * x for x in dxs]),
+               tap_tree([x * y for x, y in zip(dxs, dys)]),
+               tap_tree([y * y for y in dys])]
+        # [nh, nw] -> x-outer flat order (transpose to [nw, nh])
+        a, b, c = (v.T.reshape(n) for v in abc)
         st = jnp.stack(taps, axis=-1)                   # [3, nh, nw, 64]
         st = st.transpose(0, 2, 1, 3).reshape(3, n, ps * ps)
-        return _templates_from_taps(st[0], st[1], st[2])
+        return _templates_from_hessian(st[0], st[1], st[2], a, b, c)
 
     if mode in ("stacked3", "rw"):
         # One [3, nh, nw] strided slice (or reduce_window decimation)
@@ -225,9 +285,16 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
 def _templates_from_taps(T: jnp.ndarray, Tdx: jnp.ndarray,
                          Tdy: jnp.ndarray) -> PatchTemplates:
     """2x2 Gauss-Newton Hessian + det==0 guard (patch.cpp:75-91)."""
-    a = (Tdx * Tdx).sum(axis=1)
-    b = (Tdx * Tdy).sum(axis=1)
-    c = (Tdy * Tdy).sum(axis=1)
+    a = pairwise_sum(Tdx * Tdx)
+    b = pairwise_sum(Tdx * Tdy)
+    c = pairwise_sum(Tdy * Tdy)
+    return _templates_from_hessian(T, Tdx, Tdy, a, b, c)
+
+
+def _templates_from_hessian(T, Tdx, Tdy, a, b, c) -> PatchTemplates:
+    """Assemble PatchTemplates from precomputed Hessian sums (the TPU
+    template route computes them in tap-major layout; same association
+    tree as pairwise_sum, so both spellings agree bitwise)."""
     det = a * c - b * b
     guard = jnp.where(det == 0, jnp.float32(1e-10), jnp.float32(0.0))
     a = a + guard
@@ -498,7 +565,7 @@ def inverse_search(img2: jnp.ndarray, tpl: PatchTemplates,
 
     Tn = tpl.T
     if fixed and cfg.patch_normalization:
-        Tn = tpl.T - tpl.T.sum(axis=1, keepdims=True) * jnp.float32(1.0 / (ps * ps))
+        Tn = tpl.T - pairwise_sum(tpl.T)[:, None] * jnp.float32(1.0 / (ps * ps))
 
     def oob(p):
         return ((p[:, 0] < lb) | (p[:, 1] < lb)

@@ -76,12 +76,27 @@ def resize_half(img: jnp.ndarray) -> jnp.ndarray:
     if mode == "auto":
         import jax
 
-        mode = "reshape" if jax.default_backend() == "cpu" else "window"
+        mode = "reshape" if jax.default_backend() == "cpu" else "window2"
     if mode == "reshape":
         return img.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
     if mode == "window":
         s = lax.reduce_window(img, jnp.float32(0), lax.add,
                               (2, 2), (2, 2), "VALID")
+        return s * jnp.float32(0.25)
+    if mode == "window2":
+        # Separable with a FORCED association (a+c)+(b+d): an explicit
+        # sublane-stride-2 add (row pairs; float add semantics are fixed
+        # in HLO) followed by a TWO-element lane reduce_window (no
+        # association freedom) — context-independent, unlike the
+        # one-pass (2,2) window whose 4-add association XLA re-picks
+        # under vmap (batched pairs ran 1 ulp off serial on ~23% of
+        # pixels on chip; round 4).  Chip-measured 0.10 ms for two
+        # 1080p images vs 0.38 one-pass; the two-reduce_window spelling
+        # of the same tree costs ~1.1 ms/frame extra instead (bitwise
+        # equal to this one, kept as history in PERF_NOTES).
+        s = img[0::2, :] + img[1::2, :]
+        s = lax.reduce_window(s, jnp.float32(0), lax.add,
+                              (1, 2), (1, 2), "VALID")
         return s * jnp.float32(0.25)
     return ((img[0::2, 0::2] + img[0::2, 1::2])
             + (img[1::2, 0::2] + img[1::2, 1::2])) * jnp.float32(0.25)

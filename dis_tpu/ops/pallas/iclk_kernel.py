@@ -477,7 +477,8 @@ def inverse_search_pallas(
     if fixed:
         Tn = T
         if cfg.patch_normalization:
-            Tn = T - T.sum(axis=1, keepdims=True) * jnp.float32(1.0 / (ps * ps))
+            from ..iclk import pairwise_sum
+            Tn = T - pairwise_sum(T)[:, None] * jnp.float32(1.0 / (ps * ps))
         tn_b = blk(padn(Tn).T)
 
     kernel = functools.partial(

@@ -86,6 +86,46 @@ CELLS = {
 # DMA extraction, the 4K path, exercised at small size).
 BANDED_CELLS = ["ps8_fixed_pallas", "ps12_fixed_pallas", "ps16_fixed_pallas"]
 
+# Cells re-run vmapped (batch-2) on chip and gated BITWISE against the
+# serial runs — the round-4 class: reductions/FMA choices that compile
+# differently under jax.vmap than serial (resize_half's 4-add window,
+# the Hessian sums).  Held only after the association-forced
+# formulations (ops/iclk.py::pairwise_sum, image.py window2 mode).
+BATCH_CELLS = ["ps8_compat_pallas", "ps8_fixed_pallas", "preset_medium"]
+
+CHILD_BATCH = r"""
+import dataclasses, json, sys
+import numpy as np
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+from dis_tpu.config import DISConfig, PRESETS
+from dis_tpu.models.dis import dis_flow_padded
+from dis_tpu.ops.image import pad_divisible
+
+out_path, img_path, cells_json = sys.argv[1:4]
+d = np.load(img_path)
+i1, i2 = jnp.asarray(d["img1"]), jnp.asarray(d["img2"])
+cells = json.loads(cells_json)
+res = {}
+for name, spec in cells.items():
+    spec = dict(spec)
+    preset = spec.pop("preset", None)
+    cfg = (dataclasses.replace(PRESETS[preset], iterations=16) if preset
+           else DISConfig(iterations=16, patch_overlap=0.3, **spec))
+    p1, _ = pad_divisible(i1, cfg.coarsest_scale)
+    p2, _ = pad_divisible(i2, cfg.coarsest_scale)
+    b1 = jnp.stack([p1, p2])   # two distinct pairs: (p1,p2), (p2,p1)
+    b2 = jnp.stack([p2, p1])
+    bat = jax.jit(jax.vmap(lambda a, b: dis_flow_padded(a, b, cfg)))(b1, b2)
+    sf = jax.jit(lambda a, b: dis_flow_padded(a, b, cfg))
+    mism = int((np.asarray(bat[0]) != np.asarray(sf(p1, p2))).sum()
+               + (np.asarray(bat[1]) != np.asarray(sf(p2, p1))).sum())
+    res[name] = np.asarray([float(mism)])
+    print(f"[batch2] {name}: {mism} mismatches", file=sys.stderr)
+np.savez(out_path, **res)
+"""
+
 CHILD = r"""
 import dataclasses, json, sys
 import numpy as np
@@ -180,6 +220,21 @@ def main():
     tpu_banded = run_leg(img_path, banded_cells,
                          {"DIS_TPU_EXTRACT": "banded"}, force_xla=False)
     print(f"   {time.time()-t2:.0f}s")
+    print("== TPU batched==serial bitwise leg ==")
+    t3 = time.time()
+    with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as f:
+        bout = f.name
+    r = subprocess.run(
+        [sys.executable, "-c", CHILD_BATCH, bout, img_path,
+         json.dumps({k: CELLS[k] for k in BATCH_CELLS})],
+        env=dict(os.environ), capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr)
+        raise RuntimeError("batch leg failed")
+    bd = np.load(bout)
+    batch_mism = {k: float(bd[k][0]) for k in bd.files}
+    os.unlink(bout)
+    print(f"   {time.time()-t3:.0f}s")
     os.unlink(img_path)
 
     out = {"shape": [H, W], "iterations": 16, "cells": {}}
@@ -194,6 +249,12 @@ def main():
         rec["spec"] = CELLS[name]
         rec["route"] = "pallas_banded"
         out["cells"][name + "__banded"] = rec
+    for name, mism in batch_mism.items():
+        out["cells"][name + "__batch2"] = {
+            "spec": CELLS[name], "route": "vmap_batch2",
+            "mismatches_vs_serial": mism, "bitwise": mism == 0,
+            "ok": mism == 0,
+        }
 
     out["ok"] = all(c["ok"] for c in out["cells"].values())
     out["wall_s"] = round(time.time() - t0, 1)
