@@ -53,6 +53,16 @@ class PatchTemplates(NamedTuple):
     Hinv: jnp.ndarray   # [N, 2, 2] inverse 2x2 Hessian
 
 
+# A/B toggle for the round-4 bitwise-stability work (forced-association
+# reductions).  "1" (default): pairwise trees behind optimization
+# barriers — batched == serial bitwise.  "0": plain jnp.sum /
+# compiler-chosen association — the pre-round-4 numerics, kept ONLY so
+# the barrier cost can be measured on chip (tools/trace_budget.py,
+# PERF_NOTES round-5 ledger).  Not a supported operating point: batched
+# pairs may drift 1 ulp from serial with it off.
+_BITWISE_SUMS = _os.environ.get("DIS_TPU_BITWISE_SUMS", "1") != "0"
+
+
 def pairwise_sum(x: jnp.ndarray) -> jnp.ndarray:
     """Sum over the last axis with a FORCED pairwise association tree.
 
@@ -73,6 +83,8 @@ def pairwise_sum(x: jnp.ndarray) -> jnp.ndarray:
     vs serial with the tree alone).  Materializing the summand forces
     plain adds everywhere.
     """
+    if not _BITWISE_SUMS:
+        return jnp.sum(x, axis=-1)
     x = lax.optimization_barrier(x)
     while x.shape[-1] > 1:
         k = x.shape[-1]
@@ -198,6 +210,8 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
         # stops XLA from refusing the products into first-level FMAs
         # (operand choice is context-dependent; chip round 4).
         def tap_tree(vals):
+            if not _BITWISE_SUMS:
+                return sum(vals[1:], vals[0])
             vals = list(lax.optimization_barrier(tuple(vals)))
             while len(vals) > 1:
                 if len(vals) % 2:
