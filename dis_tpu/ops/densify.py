@@ -44,9 +44,15 @@ _ALGO = os.environ.get("DIS_TPU_DENSIFY", "phases")
 # rowconv LOSES BADLY — bench frame 40.5 vs 56.1 fps (framex 25.8 vs
 # 18.6 ms): the s 1-D dilated convs break XLA's fusion of the phase
 # sums into neighbors, a repeat of the round-1 row-packing lesson
-# (isolated wins lie when they unfuse the graph).  stack stays default;
-# rowconv/conv remain switchable as recorded negatives.
-_ASSEMBLE = os.environ.get("DIS_TPU_ASSEMBLE", "stack")
+# (isolated wins lie when they unfuse the graph).  Round 5: "twostep"
+# (both phase merges on SUBLANES, two transposes, zero arithmetic —
+# bitwise equal to stack) removes the stack path's 25x lane-padded
+# [.., nj, s] physical inflation: device-op total 14.11 -> 12.16 ms
+# and bench 81.2 -> 82.7 fps mean over interleaved A/B; ships as the
+# default.  stack/rowconv/conv remain switchable (recorded negatives;
+# a 5th variant — lane spread via interior-dilated lax.pad + bitwise
+# OR — measured 0.4 ms PER PHASE, slow pad codegen, and was removed).
+_ASSEMBLE = os.environ.get("DIS_TPU_ASSEMBLE", "twostep")
 
 
 def densify(u: jnp.ndarray, geom: GridGeometry, width: int, height: int,
@@ -243,6 +249,49 @@ def _tconv_fn(geom: GridGeometry, width: int, height: int, ps: int,
                 ph = jnp.pad(ph, ((0, ni_max - rs.shape[0]), (0, 0), (0, 0),
                                   (0, 0)))
             cols.append(ph)
+        if _ASSEMBLE == "twostep":
+            # Two-step interleave that keeps BOTH phase merges on the
+            # SUBLANE dim.  The stack assembly's [ni, s, nj, s, c] puts
+            # the column phase q (size s) on the LANE dim — tiled
+            # (8,128), s=5 pads to 128 lanes, a ~25x physical inflation
+            # that bills 1.75 ms/frame at the 1080p finest scale
+            # (round-5 device trace: copy.187 0.65 + reshape.99 1.10).
+            # A lane interleave has no cheap XLA primitive (interior-
+            # dilated lax.pad measures 0.4 ms per phase — slow codegen,
+            # unfused; recorded negative in PERF_NOTES round 5), but a
+            # SUBLANE interleave is a dense 5->8-padded stack + merge.
+            # So: interleave rows on sublanes, transpose, interleave
+            # columns on sublanes, transpose back.  Pure data movement —
+            # no float arithmetic — hence trivially bitwise equal to the
+            # stack assembly (same values, same positions; verified in
+            # tests/test_densify_variants.py).  Channels ride the
+            # LEADING dim so no trailing c=2 ever becomes a lane dim;
+            # the final [c, H, W] -> [H, W, c] transpose is layout-only
+            # (XLA stores [H, W, 2] as {1,0,2} = c-major planar anyway).
+            ys = []
+            for q in range(s):
+                lo, hi = wnd(q, pad_lo_x)
+                planes = []
+                for p in range(s):
+                    rs = rowsums[p]                      # [n_i[p], gw2P, c]
+                    acc = None
+                    for e in range(lo, hi + 1):
+                        sl = lax.slice_in_dim(rs, P + e, P + e + nj_max,
+                                              axis=1)
+                        acc = sl if acc is None else acc + sl
+                    if acc is None:
+                        acc = jnp.zeros((rs.shape[0], nj_max, c), x.dtype)
+                    if acc.shape[0] < ni_max:
+                        acc = jnp.pad(acc, ((0, ni_max - acc.shape[0]),
+                                            (0, 0), (0, 0)))
+                    planes.append(acc.transpose(2, 0, 1))  # [c, ni, nj]
+                yq = jnp.stack(planes, axis=2)           # [c, ni, s(p), nj]
+                yq = yq.reshape(c, ni_max * s, nj_max)   # rows interleaved
+                ys.append(yq.transpose(0, 2, 1))         # [c, nj, H']
+            full = jnp.stack(ys, axis=2)                 # [c, nj, s(q), H']
+            full = full.reshape(c, nj_max * s, ni_max * s)  # cols interleaved
+            full = full.transpose(0, 2, 1)               # [c, H', W']
+            return full[:, :height, :width].transpose(1, 2, 0)
         if _ASSEMBLE == "rowconv":
             # Row phases only: each phase's COLUMN pass runs as a 1-D
             # lane-dilated conv producing full-width output rows, so the

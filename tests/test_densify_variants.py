@@ -57,13 +57,15 @@ def test_variants_agree_striped():
         np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=algo)
 
 
-@pytest.mark.parametrize("assemble", ["conv", "rowconv"])
+@pytest.mark.parametrize("assemble", ["conv", "rowconv", "twostep"])
 @pytest.mark.parametrize("steps", [2, 4, 5])
 def test_phase_assembly_variants_agree(assemble, steps):
     """DIS_TPU_ASSEMBLE interleave routes (one-hot transposed conv /
-    per-phase 1-D lane-dilated row conv) match the stack+reshape
-    assembly.  conv is exactly equal (pure one-hot copies at HIGHEST
-    precision); rowconv may reassociate the ps-tap column sums."""
+    per-phase 1-D lane-dilated row conv / sublane-transpose twostep)
+    match the stack+reshape assembly.  conv is exactly equal (pure
+    one-hot copies at HIGHEST precision); twostep is exactly equal
+    INCLUDING -0.0 bit patterns (pure data movement, checked on the
+    raw bits); rowconv may reassociate the ps-tap column sums."""
     w, h, ps = 52, 40, 8
     geom = make_grid(w, h, steps)
     n = geom.num_w * geom.num_h
@@ -81,6 +83,8 @@ def test_phase_assembly_variants_agree(assemble, steps):
         densify_mod._ASSEMBLE = old
     if assemble == "conv":
         np.testing.assert_array_equal(got, ref)
+    elif assemble == "twostep":
+        np.testing.assert_array_equal(got.view(np.int32), ref.view(np.int32))
     else:
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
@@ -96,10 +100,15 @@ def test_assembly_variants_striped():
     try:
         densify_mod._ASSEMBLE = "stack"
         ref = _run("phases", u, geom, w, out_h, ps, None, out_row0)
-        for assemble in ("conv", "rowconv"):
+        for assemble in ("conv", "rowconv", "twostep"):
             densify_mod._ASSEMBLE = assemble
             got = _run("phases", u, geom, w, out_h, ps, None, out_row0)
-            np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=assemble)
+            if assemble == "twostep":
+                np.testing.assert_array_equal(got.view(np.int32),
+                                              ref.view(np.int32))
+            else:
+                np.testing.assert_allclose(got, ref, atol=1e-5,
+                                           err_msg=assemble)
     finally:
         densify_mod._ASSEMBLE = old
 
