@@ -31,9 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Patches extracted per loop iteration: the loop is issue-latency-bound
 # (~127 ns/patch of sequenced roll+store ops), so unrolling exposes
-# independent chains to the scheduler.  Measured at 1080p finest scale:
-# unroll 1/2/4/8/16 = 10.7/8.7/5.4/3.7/4.1 ms.
-_UNROLL = int(os.environ.get("DIS_TPU_EXTRACT_UNROLL", "8"))
+# independent chains to the scheduler.  Round-2 measurements (unroll
+# 1/2/4/8/16 = 10.7/8.7/5.4/3.7/4.1 ms at 1080p finest) picked 8, but
+# the round-3 power-of-two slab fix changed the instruction mix:
+# round-5 device-trace re-sweep (finest-scale kernel op, 1080p) —
+# unroll 8/16/32/64/128 = 2.55/2.23/2.09/2.01/1.98 ms, monotone.  64
+# ships (128 is within noise and doubles live slab temporaries; VMEM
+# headroom matters for the banded 4K kernel and ps 12-16 slabs).
+_UNROLL = int(os.environ.get("DIS_TPU_EXTRACT_UNROLL", "64"))
 
 
 def _unroll_for(count: int) -> int:
