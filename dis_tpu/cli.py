@@ -72,7 +72,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="refinement data term: the pipeline's Q1 "
                         "gradient-magnitude levels, or the raw-intensity "
                         "resize chain the DIS paper reads (better EPE on "
-                        "nonrigid motion; config.py::refinement_planes)")
+                        "nonrigid motion; config.py::refinement_planes). "
+                        "Intensity planes carry ~4x the dynamic range, so "
+                        "with the default smoothness alpha the field "
+                        "under-smooths: unless --refine-alpha is given, "
+                        "'intensity' auto-rebalances alpha to 40.0 (the "
+                        "chip-swept optimum the quality presets use). "
+                        "No-op without --refine (a warning is printed).")
+    p.add_argument("--refine-alpha", type=float, default=None,
+                   metavar="ALPHA",
+                   help="smoothness weight for the refinement data term "
+                        "(config.py::refinement_alpha; default 10.0 for "
+                        "q1 planes, 40.0 for intensity planes)")
     p.add_argument("--save-flo", action="store_true",
                    help="also write Middlebury .flo files")
     p.add_argument("--gt-dir", default=None,
@@ -145,6 +156,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, refinement_planes=args.refine_planes)
+        if cfg.refinement_iters == 0:
+            print("warning: --refine-planes has no effect without "
+                  "--refine (refinement is disabled)", file=sys.stderr)
+        elif (args.refine_planes == "intensity"
+              and args.refine_alpha is None
+              and cfg.refinement_alpha == 10.0):
+            # Intensity planes carry ~4x the Q1 dynamic range; the
+            # round-4 chip sweep (tools/quality_sweep.py) found
+            # alpha=40 optimal — the presets pair them the same way.
+            cfg = dataclasses.replace(cfg, refinement_alpha=40.0)
+            print("note: --refine-planes intensity rebalances "
+                  "refinement alpha 10 -> 40 (pass --refine-alpha to "
+                  "override)", file=sys.stderr)
+    if args.refine_alpha is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, refinement_alpha=args.refine_alpha)
 
     out_dir = args.out_dir or f"OF_{args.folder}"
     os.makedirs(out_dir, exist_ok=True)

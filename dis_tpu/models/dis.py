@@ -31,8 +31,11 @@ def _fixed_weights(res, tpl, cfg: DISConfig) -> jnp.ndarray:
     Patches frozen at start (OOB init, quirk path patch.cpp:132-136)
     never resampled: their ``Q`` is the raw template, so the residual
     would be the template's mean energy, not an intensity error.  Those
-    patches get a defined constant weight of 1.0 instead (mirrored in
-    oracle/reference_semantics.py so pipeline == oracle).
+    patches get a defined constant weight of 1.0 instead (the same rule
+    lives in oracle/reference_semantics.py; since round 4 the pipeline
+    sums with the forced ``pairwise_sum`` association while the oracle
+    uses plain ``np.sum``, so pipeline/oracle agreement here is to
+    float tolerance, not bitwise).
     """
     from ..ops.iclk import pairwise_sum
 

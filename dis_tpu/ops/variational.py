@@ -32,7 +32,7 @@ than re-warping outers on the six synthetic motion families.
 from __future__ import annotations
 
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from jax import lax
@@ -173,7 +173,7 @@ def _psi_deriv(s2: jnp.ndarray, eps2: float) -> jnp.ndarray:
 
 def variational_refinement(img1_padded: jnp.ndarray, img2_padded: jnp.ndarray,
                            flow: jnp.ndarray, cfg: DISConfig,
-                           pad: int = None) -> jnp.ndarray:
+                           pad: Optional[int] = None) -> jnp.ndarray:
     """Refine ``flow`` [h, w, 2] given the level image planes.
 
     ``pad`` is the border width to slice off the planes (default

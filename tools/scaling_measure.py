@@ -33,7 +33,7 @@ Projected efficiency at n devices = T1 / (n * (max_dev_compute + ici)).
 Also emits the exact-tiling duplication table (ext_h per stripe from
 ``min_stripe_halo``) that round 3 flagged as unquantified.
 
-Writes SCALING_r04.json (resumable: re-running skips measured cells).
+Writes SCALING_r05.json (resumable: re-running skips measured cells).
 Reference analogue of the data being tiled: the whole-frame arrays
 /root/reference/src/main.cpp:162-174.
 """
@@ -53,7 +53,7 @@ sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks"))
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "SCALING_r04.json")
+                   "SCALING_r05.json")
 
 SIZES = [("1080p", 1088, 1920), ("4K", 2176, 3840)]
 NS = (2, 4, 8)
