@@ -30,6 +30,10 @@ from dis_tpu.parallel import (
 
 from conftest import synthetic_pair
 
+# Bitwise engine-vs-untiled gates: keep the untiled reference EAGER
+# (the calibration baseline) — see the note in test_stripe_exact.py.
+dis_flow_padded = getattr(dis_flow_padded, "__wrapped__", dis_flow_padded)
+
 CFG = DISConfig(iterations=6, coarsest_scale=2, patch_overlap=0.5,
                 early_exit=False)
 

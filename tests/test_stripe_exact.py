@@ -14,6 +14,13 @@ from dis_tpu.models.dis import dis_flow_padded, dis_flow_stripe
 
 from conftest import synthetic_pair
 
+# These are bitwise engine-vs-untiled gates calibrated against the
+# per-stage (eager) composition of the reference pipeline; conftest's
+# session-wide top-level auto-jit would compare the engines against a
+# differently-fused whole-program compilation instead (~1e-5 fusion
+# fuzz on CPU), so pin the eager original here.
+dis_flow_padded = getattr(dis_flow_padded, "__wrapped__", dis_flow_padded)
+
 CFG = DISConfig(iterations=8, coarsest_scale=2, patch_overlap=0.5,
                 early_exit=False)
 

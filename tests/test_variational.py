@@ -153,7 +153,10 @@ def test_intensity_planes_grid_tiled_matches_untiled():
     from dis_tpu.ops.image import pad_divisible
     p1, _ = pad_divisible(jnp.asarray(i1), cfg.coarsest_scale)
     p2, _ = pad_divisible(jnp.asarray(i2), cfg.coarsest_scale)
-    want = np.asarray(dis_flow_padded(p1, p2, cfg))
+    # bitwise engine-vs-untiled gate: use the EAGER reference (the
+    # calibration baseline; see the note in test_stripe_exact.py)
+    eager_flow = getattr(dis_flow_padded, "__wrapped__", dis_flow_padded)
+    want = np.asarray(eager_flow(p1, p2, cfg))
     got = np.asarray(grid_tiled_flow(p1, p2, cfg, 3))
     np.testing.assert_array_equal(want, got)
 
