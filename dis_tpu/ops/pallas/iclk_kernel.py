@@ -66,6 +66,12 @@ _SAMPLER = os.environ.get("DIS_TPU_SAMPLER", "align2")
 # (frame 20.36 vs 18.61 ms, same process) — 4d stays the default.
 _REG_LAYOUT = os.environ.get("DIS_TPU_REG_LAYOUT", "4d")
 
+# Iteration loops at or below this trip count are Python-unrolled in
+# the kernel (0 disables).  The iteration chain is sequentially
+# dependent, so unlike the extraction kernel's unroll this exposes no
+# new parallelism — only removes the scf.for carry handling.
+_ITER_UNROLL = int(os.environ.get("DIS_TPU_ITER_UNROLL", "0"))
+
 # meta row indices (f32 meta array [M_ROWS, B])
 M_IAA, M_IAB, M_IBB = 0, 1, 2          # inverse Hessian entries
 M_IUX, M_IUY = 3, 4                    # init_u
@@ -346,6 +352,16 @@ def _iclk_kernel(meta_ref, tdx_ref, tdy_ref, reg_ref, traw_ref,
 
         _, ux, uy, q, conv = lax.while_loop(
             wcond, wbody, (0, iux + 0.0, iuy + 0.0, q0, conv0 + 0.0))
+    elif n_iters <= _ITER_UNROLL:
+        # Fully Python-unrolled iteration chain: same instructions in
+        # the same order (sequentially dependent, unlike the extraction
+        # kernel's independent per-patch chains), but no loop-carry
+        # materialization per trip.  A/B'd on chip round 5 — see the
+        # _ITER_UNROLL note.
+        state = (iux + 0.0, iuy + 0.0, q0, conv0 + 0.0)
+        for i in range(n_iters):
+            state = body(i, state)
+        ux, uy, q, conv = state
     else:
         ux, uy, q, conv = lax.fori_loop(
             0, n_iters, body, (iux + 0.0, iuy + 0.0, q0, conv0 + 0.0))

@@ -89,8 +89,14 @@ def test_warp1_scheme_runs_and_improves_subpixel_epe():
                         refine_per_level=True, refinement_inner_sweeps=5,
                         refinement_sor_sweeps=5, refinement_omega=1.6,
                         refinement_scheme="warp1")
-    f0 = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), base_cfg))
-    f1 = np.asarray(dis_flow_padded(jnp.asarray(i1), jnp.asarray(i2), ref_cfg))
+    # eager on purpose: jitting this warp1 refine-per-level program
+    # late in the suite process reproducibly segfaulted the XLA CPU
+    # compiler (2/2 full-suite runs at exactly this test; fine in a
+    # fresh process) — keep the compile small until the upstream
+    # compiler bug is gone.
+    eager_flow = getattr(dis_flow_padded, "__wrapped__", dis_flow_padded)
+    f0 = np.asarray(eager_flow(jnp.asarray(i1), jnp.asarray(i2), base_cfg))
+    f1 = np.asarray(eager_flow(jnp.asarray(i1), jnp.asarray(i2), ref_cfg))
     e0 = epe(f0[8:-8, 8:-8], gt[8:-8, 8:-8])
     e1 = epe(f1[8:-8, 8:-8], gt[8:-8, 8:-8])
     assert np.isfinite(e1)
