@@ -541,9 +541,17 @@ def extraction_route(cfg: DISConfig, img_shape, n_patches: int,
 
     rr, rc = region_shape(cfg.patch_size)
     on_tpu = use_pallas and rr == rc and _jax.default_backend() != "cpu"
+    # SMEM budget for the whole-image kernel's scalar prefetch: two
+    # s32[npad] base arrays + program overhead against the ~1 MB SMEM.
+    # The old loose gate (n <= 131072, from "112k compiles / 200k
+    # fails") admitted 130,560 patches (medium preset, 1080p,
+    # coarsest_scale=4), which fails compilation 1.1 KB over budget —
+    # model the bytes instead and leave 32 KB slack for the program.
+    npad_est = -(-n_patches // 128) * 128
+    smem_fits = 8 * npad_est + 32 * 1024 <= 1 << 20
     can_image = (_EXTRACT in ("auto", "image")
                  and vmem_ok(*img_shape, cfg.patch_size)
-                 and n_patches <= 131072)
+                 and smem_fits)
     can_banded = (_EXTRACT in ("auto", "banded") and geom is not None
                   and init_bound is not None
                   and band_width_ok(cfg.patch_size, init_bound))
