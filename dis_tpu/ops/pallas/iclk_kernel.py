@@ -67,9 +67,12 @@ _SAMPLER = os.environ.get("DIS_TPU_SAMPLER", "align2")
 _REG_LAYOUT = os.environ.get("DIS_TPU_REG_LAYOUT", "4d")
 
 # Iteration loops at or below this trip count are Python-unrolled in
-# the kernel (0 disables).  The iteration chain is sequentially
-# dependent, so unlike the extraction kernel's unroll this exposes no
-# new parallelism — only removes the scf.for carry handling.
+# the kernel (0 disables).  RECORDED NEGATIVE (round 5): the iteration
+# chain is sequentially dependent, so unlike the extraction kernel's
+# unroll this exposes no new parallelism — only removes the scf.for
+# carry handling, and the bigger body schedules slightly WORSE
+# (finest-scale kernel 3.107 vs 3.042 ms by device trace at unroll 32
+# vs fori).  Kept switchable for re-evaluation on other hardware.
 _ITER_UNROLL = int(os.environ.get("DIS_TPU_ITER_UNROLL", "0"))
 
 # meta row indices (f32 meta array [M_ROWS, B])
