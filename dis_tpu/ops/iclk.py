@@ -100,6 +100,24 @@ def pairwise_sum(x: jnp.ndarray) -> jnp.ndarray:
     return x[..., 0]
 
 
+def _tap_tree(vals):
+    """Association-forced pair tree over a tap LIST: pure elementwise
+    adds on per-tap planes — no stacks, no relayouts.  Pairing
+    (0,1)(2,3)... per level matches :func:`pairwise_sum`, so the float
+    adds — and results — are identical to the [N, ps*ps] tree bitwise.
+    The barrier stops XLA from fusing the producer products into
+    first-level FMAs (operand choice is context-dependent; chip
+    round 4)."""
+    if not _BITWISE_SUMS:
+        return sum(vals[1:], vals[0])
+    vals = list(lax.optimization_barrier(tuple(vals)))
+    while len(vals) > 1:
+        if len(vals) % 2:
+            vals.append(jnp.zeros_like(vals[0]))
+        vals = [vals[i] + vals[i + 1] for i in range(0, len(vals), 2)]
+    return vals[0]
+
+
 def extract_templates(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
                       centers: jnp.ndarray, ps: int, pad: int) -> PatchTemplates:
     """Template extraction at rounded centers + Hessian (patch.cpp:47-91).
@@ -161,6 +179,15 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
         # (17.1 ms at 4K) of lane-strided slice ops.  CPU keeps slices
         # (reduce_window decimation is ~2x slower there).  The conv
         # route stays opt-in under DIS_TPU_TEMPLATES_CONV_MAX.
+        # "twostage_rw_t" (round-5 RECORDED NEGATIVE): the same
+        # decimation on transposed planes, so taps come out [nw, nh]
+        # and the x-outer flatten is a free major-dim merge instead of
+        # the nh<->nw relayout of the tap tensor (2.1 ms at 4K).
+        # Bitwise identical, but measured WORSE end-to-end (device-op
+        # total 13.20 vs 11.44 ms at 1080p, 56.9 vs 50.7 at 4K): the
+        # upfront plane transposes and the decimation over the
+        # transposed (tall-sublane) layout cost more than the relayout
+        # they remove.  Kept switchable.
         if jax.default_backend() == "cpu":
             mode = "slices"
         elif n <= _CONV_MAX_PATCHES:
@@ -200,35 +227,55 @@ def extract_templates_grid(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
                         rows[j], (0, 0, i),
                         (3, geom.num_h, i + (geom.num_w - 1) * s + 1),
                         (1, 1, s)))                     # [3, nh, nw]
-        # Hessian sums as an association-forced pair tree over the tap
-        # LIST: pure elementwise adds on [nh, nw] planes — no stacks,
-        # no relayouts (pairwise_sum's trailing-dim-2 slices tile a
-        # 2-wide minor dim and cost ~1 ms/frame at 1080p; a tap-major
-        # stack + transpose costs ~0.5 ms).  Pairing (0,1)(2,3)... per
-        # level matches pairwise_sum, so the float adds — and results —
-        # are identical to the [N, ps*ps] tree bitwise.  The barrier
-        # stops XLA from refusing the products into first-level FMAs
-        # (operand choice is context-dependent; chip round 4).
-        def tap_tree(vals):
-            if not _BITWISE_SUMS:
-                return sum(vals[1:], vals[0])
-            vals = list(lax.optimization_barrier(tuple(vals)))
-            while len(vals) > 1:
-                if len(vals) % 2:
-                    vals.append(jnp.zeros_like(vals[0]))
-                vals = [vals[i] + vals[i + 1]
-                        for i in range(0, len(vals), 2)]
-            return vals[0]
-
+        # Hessian sums via _tap_tree: pure elementwise adds on [nh, nw]
+        # planes — no stacks, no relayouts (pairwise_sum's
+        # trailing-dim-2 slices tile a 2-wide minor dim and cost
+        # ~1 ms/frame at 1080p; a tap-major stack + transpose costs
+        # ~0.5 ms).
         dxs = [t[1] for t in taps]
         dys = [t[2] for t in taps]
-        abc = [tap_tree([x * x for x in dxs]),
-               tap_tree([x * y for x, y in zip(dxs, dys)]),
-               tap_tree([y * y for y in dys])]
+        abc = [_tap_tree([x * x for x in dxs]),
+               _tap_tree([x * y for x, y in zip(dxs, dys)]),
+               _tap_tree([y * y for y in dys])]
         # [nh, nw] -> x-outer flat order (transpose to [nw, nh])
         a, b, c = (v.T.reshape(n) for v in abc)
         st = jnp.stack(taps, axis=-1)                   # [3, nh, nw, 64]
         st = st.transpose(0, 2, 1, 3).reshape(3, n, ps * ps)
+        return _templates_from_hessian(st[0], st[1], st[2], a, b, c)
+
+    if mode == "twostage_rw_t":
+        # Transposed twostage_rw: decimate on TRANSPOSED planes so taps
+        # land [3, nw, nh] and the reference's x-outer patch order is a
+        # free major-dim ravel.  Identical tap values and identical
+        # per-patch Hessian association as twostage_rw (the window-1
+        # reduce_window is pure decimation, no arithmetic), verified
+        # bitwise in tests/test_pipeline_parity.py.
+        p3t = jnp.stack([img.T, dx.T, dy.T])            # [3, Wp, Hp]
+        ye = y0 + (geom.num_h - 1) * s + ps
+        cols = []
+        for i in range(ps):
+            xc = lax.slice(p3t, (0, x0 + i, y0),
+                           (3, x0 + i + (geom.num_w - 1) * s + 1, ye),
+                           (1, s, 1))                   # [3, nw, ye-y0]
+            cols.append(xc)
+        taps = []
+        for j in range(ps):
+            for i in range(ps):
+                win = lax.slice(
+                    cols[i], (0, 0, j),
+                    (3, geom.num_w, j + (geom.num_h - 1) * s + 1))
+                taps.append(lax.reduce_window(
+                    win, jnp.float32(0), lax.add,
+                    (1, 1, 1), (1, 1, s), "VALID"))     # [3, nw, nh]
+
+        dxs = [t[1] for t in taps]
+        dys = [t[2] for t in taps]
+        abc = [_tap_tree([x * x for x in dxs]),
+               _tap_tree([x * y for x, y in zip(dxs, dys)]),
+               _tap_tree([y * y for y in dys])]
+        a, b, c = (v.reshape(n) for v in abc)           # x-outer already
+        st = jnp.stack(taps, axis=-1)                   # [3, nw, nh, 64]
+        st = st.reshape(3, n, ps * ps)
         return _templates_from_hessian(st[0], st[1], st[2], a, b, c)
 
     if mode in ("stacked3", "rw"):

@@ -196,7 +196,8 @@ def test_templates_conv_matches_slices():
         iclk_mod._TEMPLATES = "slices"
         want = iclk_mod.extract_templates_grid(lv.img, lv.dx, lv.dy, geom, 8, 8)
         gots = {}
-        for mode in ("conv", "stacked3", "rw", "twostage", "twostage_rw"):
+        for mode in ("conv", "stacked3", "rw", "twostage", "twostage_rw",
+                     "twostage_rw_t"):
             iclk_mod._TEMPLATES = mode
             gots[mode] = iclk_mod.extract_templates_grid(
                 lv.img, lv.dx, lv.dy, geom, 8, 8)
