@@ -18,7 +18,7 @@ path only; this tool backs the TPU claim with an artifact:
      ``dis_flow_jit`` run in the exporting process (same chip, same
      lowering -> must match exactly).
 
-Writes SERVING_r04.json.  Run when the single-tenant chip is free.
+Writes SERVING_r05.json.  Run when the single-tenant chip is free.
 Reference deployment story being replaced: re-running the CLI binary
 per sequence, /root/reference/src/main.cpp:102-209.
 """
@@ -132,7 +132,7 @@ def main():
 
     out["ok"] = (out["mosaic_embedded"]
                  and out["reload_vs_live"]["max_abs_diff_px"] < 1e-5)
-    path = "/root/repo/SERVING_r04.json"
+    path = "/root/repo/SERVING_r05.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
