@@ -393,6 +393,11 @@ def search_padding(n: int, block: int = None) -> Tuple[int, int]:
         # small-grid launches at ~2.6x worse per-patch efficiency" in
         # ROOFLINE.md was mostly this).
         block = int(_os.environ.get("DIS_TPU_BLOCK", "128"))
+    # one lane tile is the floor: patches ride the lane dim, so a
+    # smaller block under-fills every vector op AND breaks the
+    # extraction kernel's 128-multiple padded-output contract
+    # (found round 5: DIS_TPU_BLOCK=64 tripped its pad_to assert).
+    block = max(block, 128)
     block = min(block, max(128, 128 * (-(-n // 128))))
     nb = -(-n // block)
     return block, nb * block
