@@ -71,7 +71,11 @@ def resize_half(img: jnp.ndarray) -> jnp.ndarray:
     bit-identical outputs on the bench image.  ``auto`` = window on
     accelerators, reshape on CPU (reduce_window is ~2x slower there)."""
     h, w = img.shape
-    assert h % 2 == 0 and w % 2 == 0
+    assert h % 2 == 0 and w % 2 == 0, (
+        f"resize_half requires even dims, got {h}x{w}: the pipeline "
+        "always passes 2^coarsest-divisible planes (pad_divisible); "
+        "odd dims would silently drop the trailing row/col in some "
+        "formulations and shape-error in others")
     mode = _resize_mode()
     if mode == "auto":
         import jax
