@@ -72,3 +72,19 @@ def test_refined_clamp_noop_when_inactive():
         jnp.asarray(i1), jnp.asarray(i2),
         dataclasses.replace(cfg, refined_init_clamp=True)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_smem_budget_gate(monkeypatch):
+    """The whole-image kernel's scalar prefetch must fit SMEM: two
+    s32[npad] base arrays + 32 KB slack against 1 MB (round 5: the old
+    loose "n <= 131072" gate admitted 130,560 patches — the medium
+    preset at 1080p with coarsest_scale=4 — which failed Mosaic
+    compilation 1.1 KB over budget)."""
+    _tpu(monkeypatch)
+    med4 = dataclasses.replace(DIS_MEDIUM, coarsest_scale=4,
+                               refined_init_clamp=True)
+    # finest scale at padded 1088x1920, steps=4 -> 130,560 patches:
+    # over the SMEM model, must NOT take the whole-image kernel.
+    assert scale_extraction_route(med4, 1920, 1088, 0) != "pallas_image"
+    # the DIS-fast geometry (83,712 patches) stays on it.
+    assert scale_extraction_route(FAST, 1920, 1088, 0) == "pallas_image"
